@@ -1,0 +1,32 @@
+from .config import (
+    ModelConfig,
+    MSResUNetConfig,
+    UNet2DConfig,
+    SwinIRConfig,
+    HATConfig,
+    DATConfig,
+    TrainConfig,
+    DataConfig,
+    EvalConfig,
+    register_model,
+    build_model,
+    model_registry,
+)
+from .dtypes import Policy, DEFAULT_POLICY
+
+__all__ = [
+    "ModelConfig",
+    "MSResUNetConfig",
+    "UNet2DConfig",
+    "SwinIRConfig",
+    "HATConfig",
+    "DATConfig",
+    "TrainConfig",
+    "DataConfig",
+    "EvalConfig",
+    "register_model",
+    "build_model",
+    "model_registry",
+    "Policy",
+    "DEFAULT_POLICY",
+]

@@ -1,0 +1,267 @@
+"""Config dataclasses + model registry.
+
+The reference has no config system — hyperparameters live in argparse
+flags (``modules/train.py:184-211``) and hard-coded constructor calls
+(``modules/finetune_swinir.py:269-281``).  Here every model family gets a
+serializable dataclass config, a registry maps names → (config, builder),
+and configs are embedded into checkpoints for reproducibility (the
+reference embeds ``vars(args)`` — ``modules/train.py:400``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+
+# --------------------------------------------------------------------------
+# Model configs
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Base class for model configs; `name` keys the registry."""
+
+    name: str = "base"
+    in_channels: int = 1
+    out_channels: int = 1
+    # SR scale the *pipeline* trains at.  Note MS_ResUNet/UNet2D are
+    # restoration nets (input pre-upscaled to HR size, reference
+    # sr_transforms.py:55-63); transformers upsample internally.
+    scale: int = 2
+
+    def to_dict(self) -> Dict[str, Any]:
+        d = dataclasses.asdict(self)
+        d["__model__"] = self.name
+        return d
+
+    @property
+    def upsamples_internally(self) -> bool:
+        """True if forward maps [B,H,W,C] -> [B,H*s,W*s,C]."""
+        return False
+
+
+@dataclass(frozen=True)
+class MSResUNetConfig(ModelConfig):
+    """RefineNet-style restoration CNN (reference modules/ms_resunet.py).
+
+    `layers` = bottleneck counts per encoder stage; the published best is
+    [3,4,3,3] (reference ms_resunet.py:263, results.ipynb cell 40).
+    """
+
+    name: str = "ms_resunet"
+    layers: Tuple[int, ...] = (3, 4, 3, 3)
+    stem_channels: int = 32
+    stage_planes: Tuple[int, ...] = (32, 64, 128, 256)
+    refine_channels: int = 128
+    use_batchnorm: bool = True
+
+
+@dataclass(frozen=True)
+class UNet2DConfig(ModelConfig):
+    """Simple U-Net family (capabilities of the reference's missing
+    unet2d.py, documented in notebooks/to_present/cnn.ipynb cells 31-34:
+    UNetConfig(in_channels, out_channels, base_channels, depth, bilinear,
+    norm, dropout))."""
+
+    name: str = "unet2d"
+    base_channels: int = 64
+    depth: int = 4
+    bilinear: bool = True
+    norm: str = "batch"  # "batch" | "none"
+    dropout: float = 0.0
+    residual: bool = False  # results.ipynb cell 13: residual-head variant
+
+
+@dataclass(frozen=True)
+class SwinIRConfig(ModelConfig):
+    """SwinIR window-attention transformer (reference
+    modules/network_swinir.py:618-851).  Defaults = SwinIR-M, the config
+    the reference fine-tunes (modules/finetune_swinir.py:269-281)."""
+
+    name: str = "swinir"
+    in_channels: int = 3
+    out_channels: int = 3
+    scale: int = 4
+    img_size: int = 64
+    window_size: int = 8
+    embed_dim: int = 180
+    depths: Tuple[int, ...] = (6, 6, 6, 6, 6, 6)
+    num_heads: Tuple[int, ...] = (6, 6, 6, 6, 6, 6)
+    mlp_ratio: float = 2.0
+    qkv_bias: bool = True
+    upsampler: str = "pixelshuffle"  # pixelshuffle|pixelshuffledirect|nearest+conv|""
+    resi_connection: str = "1conv"  # "1conv" | "3conv"
+    ape: bool = False
+    patch_norm: bool = True
+    num_feat: int = 64
+    img_range: float = 1.0
+    use_remat: bool = False
+
+    @property
+    def upsamples_internally(self) -> bool:
+        return True
+
+
+@dataclass(frozen=True)
+class HATConfig(ModelConfig):
+    """HAT hybrid attention transformer (reference modules/hat_arch.py:710-994)."""
+
+    name: str = "hat"
+    in_channels: int = 3
+    out_channels: int = 3
+    scale: int = 4
+    img_size: int = 64
+    window_size: int = 7
+    embed_dim: int = 96
+    depths: Tuple[int, ...] = (6, 6, 6, 6)
+    num_heads: Tuple[int, ...] = (6, 6, 6, 6)
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    compress_ratio: int = 3
+    squeeze_factor: int = 30
+    conv_scale: float = 0.01
+    overlap_ratio: float = 0.5
+    upsampler: str = "pixelshuffle"
+    resi_connection: str = "1conv"
+    num_feat: int = 64
+    img_range: float = 1.0
+    use_remat: bool = False
+
+    @property
+    def upsamples_internally(self) -> bool:
+        return True
+
+
+@dataclass(frozen=True)
+class DATConfig(ModelConfig):
+    """DAT dual aggregation transformer (reference modules/dat_arch.py:699-859).
+
+    Defaults follow the reference's production smoke-test config
+    (dat_arch.py:862-883): depth [6]x6, heads [6]x6, expansion 2,
+    split_size [8,16]."""
+
+    name: str = "dat"
+    in_channels: int = 3
+    out_channels: int = 3
+    scale: int = 4
+    img_size: int = 64
+    embed_dim: int = 180
+    split_size: Tuple[int, int] = (8, 16)
+    depths: Tuple[int, ...] = (6, 6, 6, 6, 6, 6)
+    num_heads: Tuple[int, ...] = (6, 6, 6, 6, 6, 6)
+    expansion_factor: float = 2.0
+    qkv_bias: bool = True
+    upsampler: str = "pixelshuffle"
+    resi_connection: str = "1conv"
+    num_feat: int = 64
+    img_range: float = 1.0
+    use_remat: bool = False
+
+    @property
+    def upsamples_internally(self) -> bool:
+        return True
+
+
+# --------------------------------------------------------------------------
+# Pipeline configs
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Paired LR/HR dataset config (reference modules/sr_datasets.py:31-73)."""
+
+    data_root: str = ""
+    dataset: str = "shuffled2D"
+    scale: str = "X2"  # "X2" | "X4"
+    # Transform convention: "pre_upscale" (bicubic LR→HR size before the
+    # model, reference sr_transforms.py:136-152) or "native_lr" (model
+    # upsamples internally, reference finetune_swinir.py:96-131).
+    convention: str = "pre_upscale"
+    patch_size: Optional[int] = 100  # HR-space patch for pre_upscale
+    lr_patch: Optional[int] = 64  # LR-space patch for native_lr
+    do_flips: bool = True
+    grayscale: bool = True
+    channels: int = 1
+
+    @property
+    def scale_int(self) -> int:
+        return int(self.scale[1:])
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    epochs: int = 5
+    batch_size: int = 8
+    loss: str = "mse"  # "mse" | "l1" | "l1_ssim"
+    lr: float = 1e-4
+    weight_decay: float = 0.0
+    scheduler: str = "none"  # "onecycle" | "exponential" | "cosine" | "none"
+    min_lr: float = 1e-7  # cosine floor (reference finetune_swinir.py:309)
+    grad_clip_norm: float = 1.0
+    seed: int = 42
+    freeze_regex: Optional[str] = None
+    finetune: bool = False
+    ft_lr: Optional[float] = None
+    # TPU specifics
+    bf16_compute: bool = True
+    remat: bool = False
+    # Parallelism: number of data-parallel shards ("auto" = all devices)
+    dp_shards: int = -1
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    batch_size: int = 4
+    tile_size: Optional[int] = None  # None = whole image (padded/bucketed)
+    tile_overlap: int = 16
+    save_n: int = 0
+    save_every: Optional[int] = None
+    save_start: int = 0
+    save_indices: Tuple[int, ...] = ()
+    rescale_png: bool = False
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+model_registry: Dict[str, Tuple[type, Callable]] = {}
+
+
+def register_model(name: str, config_cls: type, builder: Callable) -> None:
+    model_registry[name] = (config_cls, builder)
+
+
+def build_model(config: ModelConfig):
+    """Build a Flax module from a config via the registry."""
+    # Import models lazily to avoid cycles; importing registers builders.
+    from tpu_superresolution_tpu import models as _models  # noqa: F401
+
+    if config.name not in model_registry:
+        raise KeyError(
+            f"Unknown model '{config.name}'. Registered: {sorted(model_registry)}"
+        )
+    _, builder = model_registry[config.name]
+    return builder(config)
+
+
+def config_from_dict(d: Dict[str, Any]) -> ModelConfig:
+    """Rebuild a config from its serialized dict (checkpoint round-trip)."""
+    from tpu_superresolution_tpu import models as _models  # noqa: F401
+
+    d = dict(d)
+    name = d.pop("__model__", d.get("name"))
+    if name not in model_registry:
+        raise KeyError(f"Unknown model '{name}' in checkpoint config")
+    config_cls, _ = model_registry[name]
+    fields = {f.name for f in dataclasses.fields(config_cls)}
+    kwargs = {k: v for k, v in d.items() if k in fields}
+    # JSON round-trips tuples as lists; restore tuple-typed fields.
+    for f in dataclasses.fields(config_cls):
+        if f.name in kwargs and isinstance(kwargs[f.name], list):
+            kwargs[f.name] = tuple(kwargs[f.name])
+    return config_cls(**kwargs)

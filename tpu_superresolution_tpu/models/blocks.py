@@ -1,0 +1,207 @@
+"""Shared building blocks for all model families.
+
+Unlike the reference — which copy-pastes Mlp/window helpers/Upsample into
+every architecture file (network_swinir.py:33-62 vs hat_arch.py:98-127,
+dat_arch.py:655-696) — these are defined once.  Everything is NHWC,
+static-shape, and jit-friendly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tpu_superresolution_tpu.ops.pixelshuffle import pixel_shuffle
+
+Dtype = Any
+
+
+def conv_transpose_torchlike(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    stride: int,
+    padding: int,
+) -> jnp.ndarray:
+    """torch.nn.ConvTranspose2d semantics on NHWC.
+
+    torch ConvTranspose2d(k, s, p) == conv(input dilated by s, spatially
+    flipped kernel, pad k-1-p) giving out = (in-1)*s - 2p + k.  Needed for
+    MS_ResUNet's upCT{2,3,4} (reference ms_resunet.py:106-108).
+
+    w: [kh, kw, C_out, C_in]  (we store transpose-conv kernels with
+    output-features on axis 2 so torch's [C_in, C_out, kh, kw] maps by
+    transpose(2, 3, 1, 0)).
+    """
+    kh, kw = w.shape[0], w.shape[1]
+    w_flip = w[::-1, ::-1, :, :]
+    # After flip: contract over C_in (axis 3) -> dimension_numbers with
+    # kernel layout HWOI == ("NHWC", "HWOI", "NHWC") is not standard;
+    # transpose to HWIO.
+    w_hwio = w_flip.transpose(0, 1, 3, 2)  # [kh, kw, C_in, C_out]
+    pad_h = kh - 1 - padding
+    pad_w = kw - 1 - padding
+    return jax.lax.conv_general_dilated(
+        x,
+        w_hwio,
+        window_strides=(1, 1),
+        padding=((pad_h, pad_h), (pad_w, pad_w)),
+        lhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+class ConvTranspose2dTorch(nn.Module):
+    """ConvTranspose2d(k, s, p) with torch-compatible weights."""
+
+    features: int
+    kernel_size: int
+    stride: int = 2
+    padding: int = 1
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        k = self.kernel_size
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+            (k, k, self.features, in_ch),
+            self.param_dtype,
+        )
+        y = conv_transpose_torchlike(
+            x.astype(self.dtype), w.astype(self.dtype), self.stride, self.padding
+        )
+        if self.use_bias:
+            b = self.param(
+                "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+            )
+            y = y + b.astype(self.dtype)
+        return y
+
+
+class Mlp(nn.Module):
+    """2-layer GELU MLP (reference network_swinir.py:14-30)."""
+
+    hidden_features: int
+    out_features: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_features, dtype=self.dtype, param_dtype=self.param_dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out_features, dtype=self.dtype, param_dtype=self.param_dtype, name="fc2")(x)
+        return x
+
+
+class MeanShift(nn.Module):
+    """Fixed mean-shift normalize/denormalize (reference
+    network_swinir.py:659-660,809-810: subtract dataset RGB mean, scale by
+    img_range, add back after reconstruction)."""
+
+    rgb_mean: Tuple[float, ...]
+    img_range: float = 1.0
+
+    def setup(self):
+        self.mean = jnp.asarray(self.rgb_mean, dtype=jnp.float32)
+
+    def normalize(self, x):
+        return (x - self.mean.astype(x.dtype)) * jnp.asarray(
+            self.img_range, dtype=x.dtype
+        )
+
+    def denormalize(self, x):
+        return x / jnp.asarray(self.img_range, dtype=x.dtype) + self.mean.astype(x.dtype)
+
+
+class PixelShuffleUpsample(nn.Module):
+    """log2-chained (conv 4C -> depth-to-space x2) upsampler, or the x3
+    variant (reference network_swinir.py:572-591)."""
+
+    scale: int
+    features: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        import math
+
+        s = self.scale
+        if (s & (s - 1)) == 0:  # power of 2
+            for i in range(int(math.log2(s))):
+                x = nn.Conv(
+                    4 * self.features,
+                    (3, 3),
+                    padding=((1, 1), (1, 1)),
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name=f"conv_{i}",
+                )(x)
+                x = pixel_shuffle(x, 2)
+        elif s == 3:
+            x = nn.Conv(
+                9 * self.features,
+                (3, 3),
+                padding=((1, 1), (1, 1)),
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="conv_0",
+            )(x)
+            x = pixel_shuffle(x, 3)
+        else:
+            raise ValueError(f"scale {s} not supported (2^n or 3)")
+        return x
+
+
+class PixelShuffleDirect(nn.Module):
+    """One conv to s^2*C_out then a single depth-to-space (reference
+    UpsampleOneStep, network_swinir.py:594-615)."""
+
+    scale: int
+    out_features: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.scale**2 * self.out_features,
+            (3, 3),
+            padding=((1, 1), (1, 1)),
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv",
+        )(x)
+        return pixel_shuffle(x, self.scale)
+
+
+def check_image_size(x: jnp.ndarray, multiple: int) -> jnp.ndarray:
+    """Reflect-pad H, W up to the next multiple (reference
+    network_swinir.py:783-788).  Shapes are static under jit."""
+    h, w = x.shape[1], x.shape[2]
+    ph = (multiple - h % multiple) % multiple
+    pw = (multiple - w % multiple) % multiple
+    if ph or pw:
+        # torch F.pad mode='reflect' excludes the edge pixel, matching
+        # jnp.pad mode='reflect'.
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+    return x
+
+
+def drop_path(x, rate: float, deterministic: bool, rng=None):
+    """Stochastic depth (reference hat_arch.py:12-38).  Per-sample drop of
+    the residual branch; identity when deterministic or rate == 0."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
