@@ -1,0 +1,330 @@
+"""SwinIR — window-attention SR transformer, TPU-native (NHWC Flax).
+
+Capability parity with the reference ``modules/network_swinir.py:618-851``
+(classical SwinIR-M is what the reference fine-tunes —
+finetune_swinir.py:269-281), re-designed for XLA:
+
+- Features stay spatial [B, H, W, C] end-to-end (no [B, L, C] flatten
+  round-trips — PatchEmbed/PatchUnEmbed at patch_size=1 are pure layout
+  churn on TPU; LayerNorm acts on the trailing channel axis directly).
+- All shapes static under jit: the shifted-window mask and the
+  relative-position gather index are numpy trace-time constants
+  (ops/window.py), not buffers with a dynamic-recompute path (the
+  reference recomputes masks when sizes differ —
+  network_swinir.py:259-262 — an XLA-hostile pattern; here every traced
+  size gets its mask for free at trace time).
+- Attention is a batched einsum over [B, nW, heads, N, N]; bf16 compute,
+  fp32 softmax accumulation.  A fused Pallas kernel can replace the
+  inner attention via ops/pallas (same layout).
+- Reflect-pad to window multiples + crop to (H*s, W*s) preserved
+  (network_swinir.py:783-788, 840).
+
+Module names mirror the torch checkpoint layout ('.' -> '_') so
+interop/torch_convert.py maps official pretrained checkpoints (the
+``params``-key wrapper handled there, finetune_swinir.py:283-285).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_superresolution_tpu.core.config import SwinIRConfig, register_model
+from tpu_superresolution_tpu.models.blocks import (
+    Mlp,
+    PixelShuffleDirect,
+    PixelShuffleUpsample,
+    check_image_size,
+    drop_path,
+)
+from tpu_superresolution_tpu.ops.window import (
+    cyclic_shift,
+    cyclic_unshift,
+    relative_position_index,
+    shift_attn_mask,
+    window_partition,
+    window_reverse,
+)
+
+Dtype = Any
+
+_TRUNC02 = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
+_LN_EPS = 1e-5  # torch nn.LayerNorm default; flax default is 1e-6
+
+
+class WindowAttention(nn.Module):
+    """W-MSA with learned relative position bias
+    (reference network_swinir.py:65-145)."""
+
+    dim: int
+    window_size: int
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[np.ndarray] = None):
+        """x: [B, nW, N, C]; mask: [nW, N, N] numpy constant or None."""
+        b, nw, n, c = x.shape
+        ws = self.window_size
+        nh = self.num_heads
+        hd = c // nh
+        scale = hd**-0.5
+
+        qkv = nn.Dense(
+            3 * c,
+            use_bias=self.qkv_bias,
+            kernel_init=_TRUNC02,
+            dtype=self.dtype,
+            name="qkv",
+        )(x)
+        qkv = qkv.reshape(b, nw, n, 3, nh, hd)
+        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+        # [B, nW, N, nh, hd] -> attention over N
+        attn = jnp.einsum("bwqhd,bwkhd->bwhqk", q * scale, k)
+
+        table = self.param(
+            "relative_position_bias_table",
+            _TRUNC02,
+            ((2 * ws - 1) ** 2, nh),
+        )
+        rpi = relative_position_index(ws)  # numpy [N, N]
+        bias = table[rpi.reshape(-1)].reshape(n, n, nh)
+        bias = bias.transpose(2, 0, 1).astype(attn.dtype)  # [nh, N, N]
+        attn = attn + bias[None, None]
+
+        if mask is not None:
+            m = jnp.asarray(mask, dtype=attn.dtype)  # [nW, N, N]
+            attn = attn + m[None, :, None]
+
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bwhqk,bwkhd->bwqhd", attn, v)
+        out = out.reshape(b, nw, n, c)
+        out = nn.Dense(c, kernel_init=_TRUNC02, dtype=self.dtype, name="proj")(out)
+        return out
+
+
+class SwinBlock(nn.Module):
+    """Swin transformer block: (shifted) W-MSA + MLP
+    (reference network_swinir.py:164-279)."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+    shift_size: int
+    mlp_ratio: float = 2.0
+    qkv_bias: bool = True
+    drop_path_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        b, h, w, c = x.shape
+        ws, shift = self.window_size, self.shift_size
+        # Reference rule (network_swinir.py:193-196): if the resolution is
+        # <= window size, don't partition/shift.  Applied on the static
+        # trace shape.
+        if min(h, w) <= ws:
+            ws = min(h, w)
+            shift = 0
+
+        shortcut = x
+        x = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm1")(x)
+        x = cyclic_shift(x, shift)
+        nwh, nww = h // ws, w // ws
+        xw = window_partition(x, ws).reshape(b, nwh * nww, ws * ws, c)
+        mask = shift_attn_mask(h, w, ws, shift) if shift > 0 else None
+        xw = WindowAttention(
+            self.dim, ws, self.num_heads, self.qkv_bias, self.dtype, name="attn"
+        )(xw, mask)
+        x = window_reverse(xw.reshape(-1, ws * ws, c), ws, h, w)
+        x = cyclic_unshift(x, shift)
+
+        rng = (
+            self.make_rng("drop_path")
+            if (not deterministic and self.drop_path_rate > 0)
+            else None
+        )
+        x = shortcut + drop_path(x, self.drop_path_rate, deterministic or rng is None, rng)
+        y = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm2")(x)
+        y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype, name="mlp")(y)
+        rng2 = (
+            self.make_rng("drop_path")
+            if (not deterministic and self.drop_path_rate > 0)
+            else None
+        )
+        return x + drop_path(y, self.drop_path_rate, deterministic or rng2 is None, rng2)
+
+
+class RSTB(nn.Module):
+    """Residual Swin Transformer Block group: depth x SwinBlock ->
+    conv3x3 -> + input (reference network_swinir.py:419-482; BasicLayer
+    folded in — it only iterated blocks)."""
+
+    dim: int
+    depth: int
+    num_heads: int
+    window_size: int
+    mlp_ratio: float
+    qkv_bias: bool
+    drop_path_rates: Tuple[float, ...]
+    resi_connection: str = "1conv"
+    use_remat: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        res = x
+        block_cls = SwinBlock
+        if self.use_remat:
+            block_cls = nn.remat(SwinBlock, static_argnums=(2,))
+        for j in range(self.depth):
+            x = block_cls(
+                self.dim,
+                self.num_heads,
+                self.window_size,
+                0 if j % 2 == 0 else self.window_size // 2,
+                self.mlp_ratio,
+                self.qkv_bias,
+                self.drop_path_rates[j],
+                self.dtype,
+                name=f"blocks_{j}",
+            )(x, deterministic)
+        if self.resi_connection == "1conv":
+            x = nn.Conv(
+                self.dim, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv"
+            )(x)
+        else:  # 3conv bottleneck (network_swinir.py:466-471)
+            x = nn.Conv(self.dim // 4, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv_0")(x)
+            x = nn.leaky_relu(x, 0.2)
+            x = nn.Conv(self.dim // 4, (1, 1), dtype=self.dtype, name="conv_2")(x)
+            x = nn.leaky_relu(x, 0.2)
+            x = nn.Conv(self.dim, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv_4")(x)
+        return x + res
+
+
+class SwinIR(nn.Module):
+    """Full SwinIR (reference network_swinir.py:618-851)."""
+
+    config: SwinIRConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.config
+        dt = self.dtype
+        h_in, w_in = x.shape[1], x.shape[2]
+        x = x.astype(dt)
+        x = check_image_size(x, cfg.window_size)
+
+        if cfg.in_channels == 3:
+            mean = jnp.asarray([0.4488, 0.4371, 0.4040], dtype=dt)
+        else:
+            mean = jnp.zeros((cfg.in_channels,), dtype=dt)
+        x = (x - mean) * cfg.img_range
+        x_norm_in = x
+
+        # 1. shallow feature extraction
+        x = nn.Conv(
+            cfg.embed_dim, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="conv_first"
+        )(x)
+
+        # 2. deep feature extraction
+        feats = x
+        if cfg.patch_norm:
+            feats = nn.LayerNorm(epsilon=_LN_EPS, dtype=dt, name="patch_norm")(feats)
+        if cfg.ape:
+            # absolute position embedding over the init-resolution token
+            # grid (network_swinir.py:693-696)
+            ape = self.param(
+                "absolute_pos_embed",
+                _TRUNC02,
+                (cfg.img_size, cfg.img_size, cfg.embed_dim),
+            )
+            feats = feats + ape[None].astype(dt)
+
+        total_depth = sum(cfg.depths)
+        dpr = [
+            float(r) for r in np.linspace(0, 0.0, total_depth)
+        ]  # drop-path off by default for SR (reference notes "no impact")
+        start = 0
+        for i, depth in enumerate(cfg.depths):
+            feats = RSTB(
+                cfg.embed_dim,
+                depth,
+                cfg.num_heads[i],
+                cfg.window_size,
+                cfg.mlp_ratio,
+                cfg.qkv_bias,
+                tuple(dpr[start : start + depth]),
+                cfg.resi_connection,
+                cfg.use_remat,
+                dt,
+                name=f"layers_{i}",
+            )(feats, deterministic=not train)
+            start += depth
+        feats = nn.LayerNorm(epsilon=_LN_EPS, dtype=dt, name="norm")(feats)
+        if cfg.resi_connection == "1conv":
+            feats = nn.Conv(
+                cfg.embed_dim, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="conv_after_body"
+            )(feats)
+        else:
+            feats = nn.Conv(cfg.embed_dim // 4, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="conv_after_body_0")(feats)
+            feats = nn.leaky_relu(feats, 0.2)
+            feats = nn.Conv(cfg.embed_dim // 4, (1, 1), dtype=dt, name="conv_after_body_2")(feats)
+            feats = nn.leaky_relu(feats, 0.2)
+            feats = nn.Conv(cfg.embed_dim, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="conv_after_body_4")(feats)
+        x = feats + x
+
+        # 3. reconstruction
+        if cfg.upsampler == "pixelshuffle":
+            x = nn.Conv(
+                cfg.num_feat, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="conv_before_upsample"
+            )(x)
+            x = nn.leaky_relu(x, 0.01)  # torch nn.LeakyReLU default slope
+            x = PixelShuffleUpsample(cfg.scale, cfg.num_feat, dt, name="upsample")(x)
+            x = nn.Conv(
+                cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="conv_last"
+            )(x)
+        elif cfg.upsampler == "pixelshuffledirect":
+            x = PixelShuffleDirect(cfg.scale, cfg.out_channels, dt, name="upsample")(x)
+        elif cfg.upsampler == "nearest+conv":
+            x = nn.Conv(cfg.num_feat, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="conv_before_upsample")(x)
+            x = nn.leaky_relu(x, 0.01)
+            x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+            x = nn.leaky_relu(
+                nn.Conv(cfg.num_feat, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="conv_up1")(x),
+                0.2,
+            )
+            if cfg.scale == 4:
+                x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+                x = nn.leaky_relu(
+                    nn.Conv(cfg.num_feat, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="conv_up2")(x),
+                    0.2,
+                )
+            x = nn.leaky_relu(
+                nn.Conv(cfg.num_feat, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="conv_hr")(x),
+                0.2,
+            )
+            x = nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="conv_last")(x)
+        else:  # denoise / artifact-reduction: input + conv_last(body)
+            # (network_swinir.py:832-836)
+            x = x_norm_in + nn.Conv(
+                cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="conv_last"
+            )(x)
+
+        x = x / cfg.img_range + mean
+        out_scale = cfg.scale if cfg.upsampler else 1
+        return x[:, : h_in * out_scale, : w_in * out_scale, :]
+
+
+def build_swinir(config: SwinIRConfig, dtype=jnp.float32) -> SwinIR:
+    return SwinIR(config=config, dtype=dtype)
+
+
+register_model("swinir", SwinIRConfig, build_swinir)
