@@ -1,0 +1,182 @@
+"""Training engine tests: schedules vs torch, freeze masks, a real short
+training run (loss decreases), checkpoint round-trip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from tests.util_fakedata import make_deeprock_dataset
+
+from tpu_superresolution_tpu.core.config import (
+    DataConfig,
+    TrainConfig,
+    UNet2DConfig,
+    build_model,
+)
+from tpu_superresolution_tpu.data import Loader, PairedIndex
+from tpu_superresolution_tpu.train.engine import (
+    Trainer,
+    build_optimizer,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from tpu_superresolution_tpu.train.freeze import count_trainable, freeze_mask
+from tpu_superresolution_tpu.train.schedules import build_schedule
+
+
+# ---------------------------------------------------------------------------
+# schedules vs torch
+# ---------------------------------------------------------------------------
+
+
+def test_onecycle_matches_torch():
+    lr, epochs, spe = 1e-3, 4, 25
+    total = epochs * spe
+    sched = build_schedule("onecycle", lr, epochs, spe)
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.AdamW([p], lr=lr)
+    tsched = torch.optim.lr_scheduler.OneCycleLR(
+        opt, max_lr=lr, steps_per_epoch=spe, epochs=epochs,
+        pct_start=0.1, anneal_strategy="cos", div_factor=10, final_div_factor=100,
+    )
+    torch_lrs = []
+    for _ in range(total):
+        torch_lrs.append(opt.param_groups[0]["lr"])
+        opt.step()
+        tsched.step()
+    ours = [float(sched(i)) for i in range(total)]
+    np.testing.assert_allclose(ours, torch_lrs, rtol=2e-2, atol=1e-6)
+
+
+def test_exponential_matches_torch():
+    lr, spe = 1e-3, 10
+    sched = build_schedule("exponential", lr, 100, spe)
+    gamma = 0.5 ** (1 / 50)
+    for epoch in range(100):
+        ours = float(sched(epoch * spe))
+        ref = lr * gamma**epoch
+        assert abs(ours - ref) / ref < 1e-5
+
+
+def test_cosine_matches_torch():
+    lr, epochs, spe, min_lr = 2e-5, 10, 7, 2e-6
+    sched = build_schedule("cosine", lr, epochs, spe, min_lr=min_lr)
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.AdamW([p], lr=lr)
+    tsched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=epochs, eta_min=min_lr)
+    for epoch in range(epochs):
+        ref = opt.param_groups[0]["lr"]
+        ours = float(sched(epoch * spe))
+        assert abs(ours - ref) < 1e-9, f"epoch {epoch}: {ours} vs {ref}"
+        opt.step()
+        tsched.step()
+
+
+# ---------------------------------------------------------------------------
+# freeze masks
+# ---------------------------------------------------------------------------
+
+
+def test_freeze_mask_regex():
+    params = {"inc": {"kernel": 1}, "down1": {"kernel": 2}, "outc": {"kernel": 3}}
+    mask = freeze_mask(params, "inc|down")
+    assert mask == {"inc": {"kernel": False}, "down1": {"kernel": False}, "outc": {"kernel": True}}
+    assert count_trainable(mask) == 1
+    mask_all = freeze_mask(params, None)
+    assert count_trainable(mask_all) == 3
+
+
+def test_frozen_params_do_not_update(rng):
+    cfg = UNet2DConfig(base_channels=4, depth=1, norm="none")
+    model = build_model(cfg)
+    x = jnp.asarray(rng.random((2, 16, 16, 1), dtype=np.float32))
+    y = jnp.asarray(rng.random((2, 16, 16, 1), dtype=np.float32))
+    variables = model.init(jax.random.key(0), x, train=False)
+    tcfg = TrainConfig(
+        epochs=1, lr=1e-2, finetune=True, freeze_regex="inc", scheduler="none"
+    )
+    tx = build_optimizer(tcfg, 10, variables["params"])
+    state = create_train_state(model, variables["params"], {}, tx)
+    # snapshot before stepping: the train step donates the state buffers
+    before_inc = [np.asarray(a) for a in jax.tree.leaves(variables["params"]["inc"])]
+    before_outc = np.asarray(jax.tree.leaves(variables["params"]["outc"])[0])
+    step = make_train_step(model, "mse", "native_lr", 1, None, False)
+    new_state, metrics = step(state, x, y, jax.random.key(1))
+    after = jax.tree.leaves(new_state.params["inc"])
+    for a, b in zip(before_inc, after):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    # non-frozen must move
+    assert not np.allclose(
+        before_outc, np.asarray(jax.tree.leaves(new_state.params["outc"])[0])
+    )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end short training run
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("deeprock_train")
+    make_deeprock_dataset(root, hr_size=48, scale="X2", n_per_split=8)
+    return root
+
+
+def test_training_reduces_loss(dataset, tmp_path):
+    cfg = UNet2DConfig(base_channels=8, depth=2)
+    model = build_model(cfg)
+    dcfg = DataConfig(
+        data_root=str(dataset), scale="X2", convention="pre_upscale",
+        patch_size=32, do_flips=True,
+    )
+    tcfg = TrainConfig(epochs=3, batch_size=4, loss="mse", lr=3e-3, scheduler="onecycle")
+
+    idx_tr = PairedIndex(str(dataset), "train", "X2")
+    idx_va = PairedIndex(str(dataset), "valid", "X2")
+    train_loader = Loader(idx_tr, 4, shuffle=True, seed=0)
+    valid_loader = Loader(idx_va, 4)
+
+    x0 = jnp.zeros((1, 48, 48, 1), jnp.float32)
+    variables = model.init(jax.random.key(0), x0, train=False)
+    tx = build_optimizer(tcfg, len(train_loader), variables["params"])
+    state = create_train_state(
+        model, variables["params"], variables.get("batch_stats", {}), tx
+    )
+
+    logs = []
+    trainer = Trainer(model, cfg, dcfg, tcfg, workdir=str(tmp_path), log=logs.append)
+    state = trainer.fit(state, train_loader, valid_loader)
+
+    assert len(trainer.history["train"]) == 3
+    assert trainer.history["train"][-1] < trainer.history["train"][0]
+    assert (tmp_path / "loss_curve_X2.png").exists()
+    assert (tmp_path / "best_X2" / "meta.json").exists()
+    assert any("val_PSNR" in l for l in logs)
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    from tpu_superresolution_tpu.train.checkpoint import (
+        load_checkpoint,
+        model_config_from_checkpoint,
+        save_checkpoint,
+    )
+
+    cfg = UNet2DConfig(base_channels=4, depth=1, norm="none")
+    model = build_model(cfg)
+    x = jnp.asarray(rng.random((1, 16, 16, 1), dtype=np.float32))
+    variables = model.init(jax.random.key(0), x, train=False)
+    tcfg = TrainConfig(epochs=1)
+    tx = build_optimizer(tcfg, 5, variables["params"])
+    state = create_train_state(model, variables["params"], {}, tx)
+
+    save_checkpoint(str(tmp_path / "ck"), state, cfg, extra={"epoch": 2})
+    restored, meta = load_checkpoint(str(tmp_path / "ck"), target_state=state)
+    assert meta["epoch"] == 2
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    cfg2 = model_config_from_checkpoint(str(tmp_path / "ck"))
+    assert cfg2 == cfg

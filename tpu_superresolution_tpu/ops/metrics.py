@@ -42,15 +42,17 @@ def psnr(pred: jnp.ndarray, target: jnp.ndarray, max_val: float = 1.0) -> jnp.nd
 
 
 @functools.lru_cache(maxsize=16)
-def _gaussian_window(win_size: int, sigma: float) -> jnp.ndarray:
-    """1D normalized gaussian, pytorch_msssim._fspecial_gauss_1d semantics."""
+def _gaussian_window(win_size: int, sigma: float) -> np.ndarray:
+    """1D normalized gaussian, pytorch_msssim._fspecial_gauss_1d semantics.
+    Kept as numpy: it's a trace-time constant folded into the band
+    matrices (a jnp array here would become a tracer under jit)."""
     coords = np.arange(win_size, dtype=np.float64) - win_size // 2
     g = np.exp(-(coords**2) / (2.0 * sigma**2))
     g /= g.sum()
-    return jnp.asarray(g, dtype=jnp.float32)
+    return g.astype(np.float32)
 
 
-def _gaussian_filter_valid(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
+def _gaussian_filter_valid(x: jnp.ndarray, win: np.ndarray) -> jnp.ndarray:
     """Separable valid-mode gaussian blur on NHWC (per-channel).
 
     pytorch_msssim runs a depthwise conv with padding=0 along H then W;

@@ -71,7 +71,9 @@ def _resize_matrix(in_size: int, out_size: int, method: str, antialias: bool):
         if s != 0:
             w = w / s
         W[i, xmin:xmax] = w
-    return jnp.asarray(W, dtype=jnp.float32)
+    # numpy, not jnp: this is lru_cached, and a jnp array created inside
+    # a jit trace would be cached as a tracer and escape the trace.
+    return W.astype(np.float32)
 
 
 def _apply_separable(img: jnp.ndarray, wh: jnp.ndarray, ww: jnp.ndarray) -> jnp.ndarray:

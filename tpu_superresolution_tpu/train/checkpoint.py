@@ -1,0 +1,96 @@
+"""Orbax checkpointing: {params, batch_stats, opt_state, step} + config.
+
+TPU equivalent of the reference's torch.save dicts
+({model, opt, sched, epoch, args} — train.py:393-401): the model config
+and run metadata ride along as JSON so a checkpoint is self-describing
+(config_from_dict rebuilds the model).  Resume restores optimizer state
+unless finetuning (train.py:335-342 semantics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from tpu_superresolution_tpu.core.config import ModelConfig, config_from_dict
+
+
+def save_checkpoint(
+    path: str,
+    state,
+    model_config: Optional[ModelConfig] = None,
+    extra: Optional[Dict[str, Any]] = None,
+) -> None:
+    path = Path(path).absolute()
+    tree = {
+        "params": state.params,
+        "batch_stats": state.batch_stats or {},
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    ckptr = ocp.StandardCheckpointer()
+    if path.exists():
+        import shutil
+
+        shutil.rmtree(path)
+    ckptr.save(path / "state", tree)
+    ckptr.wait_until_finished()
+    meta = dict(extra or {})
+    if model_config is not None:
+        meta["model_config"] = model_config.to_dict()
+    with open(path / "meta.json", "w") as f:
+        json.dump(meta, f, indent=1, default=str)
+
+
+def load_checkpoint(path: str, target_state=None):
+    """Restore a checkpoint.  With target_state, returns a TrainState
+    whose params/batch_stats/opt_state/step are replaced; otherwise
+    returns the raw tree.  Second return: meta dict."""
+    path = Path(path).absolute()
+    ckptr = ocp.StandardCheckpointer()
+    if target_state is not None:
+        template = {
+            "params": target_state.params,
+            "batch_stats": target_state.batch_stats or {},
+            "opt_state": target_state.opt_state,
+            "step": target_state.step,
+        }
+        tree = ckptr.restore(path / "state", target=template)
+    else:
+        tree = ckptr.restore(path / "state")
+    meta = {}
+    meta_path = path / "meta.json"
+    if meta_path.exists():
+        meta = json.loads(meta_path.read_text())
+    if target_state is not None:
+        restored = target_state.replace(
+            params=tree["params"],
+            batch_stats=tree["batch_stats"],
+            opt_state=tree["opt_state"],
+            step=tree["step"],
+        )
+        return restored, meta
+    return tree, meta
+
+
+def load_weights_only(path: str):
+    """Finetune-mode restore: params (+batch_stats) only, optimizer
+    fresh (reference --finetune, train.py:283-301)."""
+    tree, meta = load_checkpoint(path)
+    return {"params": tree["params"], "batch_stats": tree.get("batch_stats", {})}, meta
+
+
+def model_config_from_checkpoint(path: str) -> Optional[ModelConfig]:
+    meta_path = Path(path).absolute() / "meta.json"
+    if not meta_path.exists():
+        return None
+    meta = json.loads(meta_path.read_text())
+    if "model_config" in meta:
+        return config_from_dict(meta["model_config"])
+    return None

@@ -1,0 +1,338 @@
+"""Unified training engine — ONE jit'd train step for every model family.
+
+The reference duplicates its engine per entry point (train_one_epoch in
+train.py:89-137 AND finetune_swinir.py:148-179, validate twice, loaders
+twice); here a single Trainer covers train / finetune / resume for all
+five models.
+
+TPU-native design:
+- The train step is one XLA program: on-device paired augmentation
+  (crop/flip/bicubic — data/transforms.py) -> bf16 forward -> fp32 loss
+  -> backward -> global-norm clip 1.0 (train.py:119) -> optax AdamW with
+  schedule -> metric accumulation.  Host touches one scalar per epoch,
+  not per step (the reference syncs loss.item() every batch).
+- bf16 compute / fp32 params, no GradScaler (the reference's bf16
+  finetune path already disabled scaling — finetune_swinir.py:311).
+- Donated state: params/opt_state update in place in HBM.
+- Fail-fast finite guards mirrored from train.py:110-113 /
+  finetune_swinir.py:133-143 as a jnp.isfinite check folded into the
+  epoch-mean fetch (raises on host at epoch end; optional per-step).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tpu_superresolution_tpu.core.config import DataConfig, ModelConfig, TrainConfig
+from tpu_superresolution_tpu.data.transforms import (
+    make_eval_batch_preupscale,
+    make_train_batch_native,
+    make_train_batch_preupscale,
+)
+from tpu_superresolution_tpu.ops.metrics import batch_psnr, ssim
+from tpu_superresolution_tpu.train.freeze import apply_freeze, freeze_mask
+from tpu_superresolution_tpu.train.losses import get_loss
+from tpu_superresolution_tpu.train.schedules import build_schedule
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any  # {} for BN-free models
+    opt_state: Any
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt,
+        )
+
+
+def build_optimizer(
+    tcfg: TrainConfig, steps_per_epoch: int, params
+) -> optax.GradientTransformation:
+    lr = tcfg.ft_lr if (tcfg.finetune and tcfg.ft_lr is not None) else tcfg.lr
+    schedule = build_schedule(
+        tcfg.scheduler, lr, tcfg.epochs, steps_per_epoch, tcfg.min_lr
+    )
+    tx = optax.chain(
+        optax.clip_by_global_norm(tcfg.grad_clip_norm)
+        if tcfg.grad_clip_norm
+        else optax.identity(),
+        optax.adamw(schedule, weight_decay=tcfg.weight_decay),
+    )
+    if tcfg.finetune and tcfg.freeze_regex:
+        tx = apply_freeze(tx, freeze_mask(params, tcfg.freeze_regex))
+    return tx
+
+
+def create_train_state(model, params, batch_stats, tx) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats or {},
+        opt_state=tx.init(params),
+        tx=tx,
+    )
+
+
+def _apply_model(model, state: TrainState, x, train: bool):
+    variables = {"params": state.params}
+    has_bn = bool(state.batch_stats)
+    if has_bn:
+        variables["batch_stats"] = state.batch_stats
+    if train and has_bn:
+        out, mutated = model.apply(variables, x, train=True, mutable=["batch_stats"])
+        return out, mutated["batch_stats"]
+    out = model.apply(variables, x, train=train)
+    return out, state.batch_stats
+
+
+def make_train_step(
+    model,
+    loss_name: str,
+    convention: str,
+    scale: int,
+    patch: Optional[int],
+    do_flips: bool,
+):
+    """Returns jit'd step(state, lr_raw, hr_raw, key) -> (state, metrics).
+
+    Augmentation is fused into the step: raw decoded batches go in, the
+    whole pipeline runs as one XLA program on device.
+    """
+    loss_fn = get_loss(loss_name)
+
+    def aug(lr, hr, key):
+        if convention == "pre_upscale":
+            if patch is not None:
+                return make_train_batch_preupscale(lr, hr, key, scale, patch, do_flips)
+            from tpu_superresolution_tpu.data.transforms import pre_upscale_batch
+
+            lr2 = pre_upscale_batch(lr, scale)
+            return (lr2, hr)
+        elif convention == "native_lr":
+            if patch is None:
+                return lr, hr
+            return make_train_batch_native(lr, hr, key, scale, patch, do_flips)
+        raise ValueError(convention)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, lr_raw, hr_raw, key):
+        lr, hr = aug(lr_raw, hr_raw, key)
+
+        def compute_loss(params):
+            st = state.replace(params=params)
+            out, new_stats = _apply_model(model, st, lr, train=True)
+            out = out.astype(jnp.float32)
+            loss = loss_fn(out, hr)
+            return loss, (out, new_stats)
+
+        (loss, (out, new_stats)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(state.params)
+        gnorm = optax.global_norm(grads)
+        state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+        metrics = {
+            "loss": loss,
+            "grad_norm": gnorm,
+            "psnr": batch_psnr(out, hr).mean(),
+            "finite": jnp.isfinite(loss) & jnp.isfinite(gnorm),
+        }
+        return state, metrics
+
+    return step
+
+
+def make_eval_step(model, loss_name: str, convention: str, scale: int):
+    """jit'd eval step: full-image, loss + per-image PSNR/SSIM sums
+    (reference validate, train.py:140-179)."""
+    loss_fn = get_loss(loss_name)
+
+    @jax.jit
+    def step(state: TrainState, lr_raw, hr_raw):
+        lr = (
+            make_eval_batch_preupscale(lr_raw, scale)
+            if convention == "pre_upscale"
+            else lr_raw
+        )
+        # nan_to_num input scrub (train.py:157-158)
+        lr = jnp.nan_to_num(lr, nan=0.0, posinf=0.0, neginf=0.0)
+        hr = jnp.nan_to_num(hr_raw, nan=0.0, posinf=0.0, neginf=0.0)
+        out, _ = _apply_model(model, state, lr, train=False)
+        out = out.astype(jnp.float32)
+        loss = loss_fn(out, hr)
+        p01 = jnp.clip(out, 0.0, 1.0)
+        t01 = jnp.clip(hr, 0.0, 1.0)
+        return {
+            "loss": loss,
+            "psnr_sum": batch_psnr(out, hr).sum(),
+            "ssim_sum": ssim(p01, t01) * lr.shape[0],
+            "n": jnp.asarray(lr_raw.shape[0], jnp.float32),
+        }
+
+    return step
+
+
+@dataclass
+class EpochStats:
+    train_loss: float = 0.0
+    val_loss: float = 0.0
+    val_psnr: float = 0.0
+    val_ssim: float = 0.0
+    data_time: float = 0.0
+    step_time: float = 0.0
+
+
+@dataclass
+class Trainer:
+    """Full training orchestration: epochs, validation, best-checkpoint
+    tracking (dual best by val-loss AND val-PSNR, finetune_swinir.py:
+    344-371), ETA logging, loss-curve artifact (train.py:403-419)."""
+
+    model: Any
+    model_config: ModelConfig
+    data_config: DataConfig
+    train_config: TrainConfig
+    workdir: str = "."
+    log: Callable[[str], None] = print
+
+    history: Dict[str, list] = field(default_factory=lambda: {"train": [], "val": []})
+    best_val_loss: float = math.inf
+    best_val_psnr: float = -math.inf
+
+    def fit(self, state: TrainState, train_loader, valid_loader, rng_key=None):
+        tcfg = self.train_config
+        dcfg = self.data_config
+        key = rng_key if rng_key is not None else jax.random.key(tcfg.seed)
+
+        convention = dcfg.convention
+        patch = dcfg.patch_size if convention == "pre_upscale" else dcfg.lr_patch
+        train_step = make_train_step(
+            self.model,
+            tcfg.loss,
+            convention,
+            dcfg.scale_int,
+            patch,
+            dcfg.do_flips,
+        )
+        eval_step = make_eval_step(self.model, tcfg.loss, convention, dcfg.scale_int)
+
+        t_start = time.time()
+        for epoch in range(1, tcfg.epochs + 1):
+            t_ep = time.time()
+            # ---- train ----
+            losses = []
+            data_t = step_t = 0.0
+            end = time.time()
+            for lr_np, hr_np in train_loader:
+                data_t += time.time() - end
+                t0 = time.time()
+                key, sub = jax.random.split(key)
+                state, metrics = train_step(
+                    state, jnp.asarray(lr_np), jnp.asarray(hr_np), sub
+                )
+                losses.append(metrics["loss"])
+                step_t += time.time() - t0
+                end = time.time()
+            n_steps = max(1, len(losses))
+            tr_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+            if not math.isfinite(tr_loss):
+                raise RuntimeError(
+                    "Model produced NaN/Inf loss — lower max_lr / check init"
+                )
+            t_tr = time.time() - t_ep
+
+            # ---- validate ----
+            t_val0 = time.time()
+            agg = {"loss": 0.0, "psnr_sum": 0.0, "ssim_sum": 0.0, "n": 0.0}
+            n_batches = 0
+            for lr_np, hr_np in valid_loader:
+                m = eval_step(state, jnp.asarray(lr_np), jnp.asarray(hr_np))
+                agg["loss"] += float(m["loss"])
+                agg["psnr_sum"] += float(m["psnr_sum"])
+                agg["ssim_sum"] += float(m["ssim_sum"])
+                agg["n"] += float(m["n"])
+                n_batches += 1
+            val_loss = agg["loss"] / max(1, n_batches)
+            val_psnr = agg["psnr_sum"] / max(1.0, agg["n"])
+            val_ssim = agg["ssim_sum"] / max(1.0, agg["n"])
+            t_val = time.time() - t_val0
+
+            self.history["train"].append(tr_loss)
+            self.history["val"].append(val_loss)
+
+            self.log(
+                f"[{dcfg.scale}] epoch {epoch}: "
+                f"train_loss {tr_loss:.7f}, val_loss {val_loss:.7f} | "
+                f"val_PSNR {val_psnr:.2f} dB, val_SSIM {val_ssim:.4f} | "
+                f"(data {data_t / n_steps:.3f}/batch {step_t / n_steps:.3f}) | "
+                f"time: train {t_tr:.1f}s, val {t_val:.1f}s"
+            )
+            elapsed = time.time() - t_start
+            eta = elapsed / epoch * (tcfg.epochs - epoch)
+            self.log(f"[{dcfg.scale}][time] elapsed={elapsed:.0f}s ETA~{eta:.0f}s")
+
+            # ---- checkpoints ----
+            from tpu_superresolution_tpu.train.checkpoint import save_checkpoint
+
+            if val_loss < self.best_val_loss:
+                self.best_val_loss = val_loss
+                save_checkpoint(
+                    f"{self.workdir}/best_{dcfg.scale}",
+                    state,
+                    self.model_config,
+                    extra={
+                        "epoch": epoch,
+                        "best_val_loss": val_loss,
+                        "val_psnr": val_psnr,
+                    },
+                )
+                self.log(f"[ckpt] saved best_{dcfg.scale} (val_loss {val_loss:.7f})")
+            if val_psnr > self.best_val_psnr:
+                self.best_val_psnr = val_psnr
+                save_checkpoint(
+                    f"{self.workdir}/bestpsnr_{dcfg.scale}",
+                    state,
+                    self.model_config,
+                    extra={"epoch": epoch, "best_val_psnr": val_psnr, "val_loss": val_loss},
+                )
+
+        self.save_loss_curve(f"{self.workdir}/loss_curve_{dcfg.scale}.png")
+        return state
+
+    def save_loss_curve(self, path: str):
+        """Loss-curve PNG artifact (reference train.py:403-419)."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:  # pragma: no cover
+            return
+        epochs = list(range(1, len(self.history["train"]) + 1))
+        plt.figure(figsize=(8, 5))
+        plt.plot(epochs, self.history["train"], label="train loss")
+        plt.plot(epochs, self.history["val"], label="val loss")
+        plt.xlabel("Epoch")
+        plt.ylabel("Loss")
+        plt.title(f"Train vs Val loss ({self.data_config.scale})")
+        plt.grid(True)
+        plt.legend()
+        plt.tight_layout()
+        plt.savefig(path, dpi=150)
+        plt.close()
+        self.log(f"[plot] saved loss curves to {path}")
