@@ -1,0 +1,66 @@
+"""CLI smoke tests: train -> evaluate round trip on synthetic data."""
+
+import sys
+
+import numpy as np
+import pytest
+
+from tests.util_fakedata import make_deeprock_dataset
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("deeprock_cli")
+    make_deeprock_dataset(root, hr_size=48, scale="X2", n_per_split=6)
+    return root
+
+
+def test_train_then_evaluate_cli(dataset, tmp_path, capsys):
+    from tpu_superresolution_tpu.cli.train import main as train_main
+
+    train_main([
+        "--data_root", str(dataset), "--scale", "X2",
+        "--model", "unet2d", "--base_channels", "4", "--depth", "1",
+        "--epochs", "2", "--batch_size", "4", "--patch_size", "32",
+        "--lr", "1e-3", "--scheduler", "OneCycle",
+        "--workdir", str(tmp_path),
+    ])
+    out = capsys.readouterr().out
+    assert "val_PSNR" in out
+    assert (tmp_path / "best_X2").exists()
+    assert (tmp_path / "loss_curve_X2.png").exists()
+
+    from tpu_superresolution_tpu.cli.evaluate import main as eval_main
+
+    results = eval_main([
+        "--data_root", str(dataset), "--scale", "X2",
+        "--ckpt", str(tmp_path / "best_X2"),
+        "--save_n", "1", "--save_dir", str(tmp_path / "preds"),
+    ])
+    out = capsys.readouterr().out
+    assert "[baseline] Bicubic PSNR" in out
+    assert "[result] PSNR" in out
+    assert results["n"] == 6
+    assert (tmp_path / "preds" / "idx_000000_sr.png").exists()
+
+
+def test_train_cli_resume_finetune(dataset, tmp_path, capsys):
+    from tpu_superresolution_tpu.cli.train import main as train_main
+
+    train_main([
+        "--data_root", str(dataset), "--scale", "X2",
+        "--model", "unet2d", "--base_channels", "4", "--depth", "1",
+        "--epochs", "1", "--batch_size", "4", "--patch_size", "32",
+        "--workdir", str(tmp_path),
+    ])
+    capsys.readouterr()
+    train_main([
+        "--data_root", str(dataset), "--scale", "X2",
+        "--model", "unet2d", "--base_channels", "4", "--depth", "1",
+        "--epochs", "1", "--batch_size", "4", "--patch_size", "32",
+        "--resume", str(tmp_path / "best_X2"), "--finetune",
+        "--freeze_regex", "inc", "--ft_lr", "1e-5",
+        "--workdir", str(tmp_path / "ft"),
+    ])
+    out = capsys.readouterr().out
+    assert "[ckpt] loaded model weights" in out

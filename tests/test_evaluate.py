@@ -1,0 +1,170 @@
+"""Evaluation subsystem tests: tiling correctness, baseline, runner."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.util_fakedata import make_deeprock_dataset
+
+from tpu_superresolution_tpu.core.config import EvalConfig
+from tpu_superresolution_tpu.data import Loader, PairedIndex
+from tpu_superresolution_tpu.evaluate.baseline import bicubic_baseline
+from tpu_superresolution_tpu.evaluate.runner import (
+    Evaluator,
+    _save_decision,
+    save_tensor_as_png,
+)
+from tpu_superresolution_tpu.evaluate.tiling import tile_grid, tiled_forward
+
+
+# ---------------------------------------------------------------------------
+# tiling
+# ---------------------------------------------------------------------------
+
+
+def test_tile_grid_cases():
+    assert tile_grid(100, 100, 16) == (0,)
+    assert tile_grid(64, 100, 16) == (0,)
+    assert tile_grid(100, 48, 16) == (0, 32, 52)
+    starts = tile_grid(500, 128, 32)
+    assert starts[0] == 0 and starts[-1] == 500 - 128
+    # every pixel covered
+    covered = np.zeros(500, bool)
+    for s in starts:
+        covered[s : s + 128] = True
+    assert covered.all()
+
+
+def test_tile_grid_bad_overlap():
+    with pytest.raises(ValueError):
+        tile_grid(100, 16, 16)
+
+
+def _shift_invariant_fn(scale):
+    """A shift-invariant per-pixel upsampler: nearest repeat + nonlinearity.
+    Tiling any shift-invariant local fn must reproduce the full forward."""
+
+    def fn(x):
+        y = jnp.repeat(jnp.repeat(x, scale, 1), scale, 2)
+        return y * 2.0 + jnp.sin(y)
+
+    return fn
+
+
+@pytest.mark.parametrize("scale", [1, 2])
+def test_tiled_forward_matches_direct(scale, rng):
+    fn = _shift_invariant_fn(scale)
+    x = jnp.asarray(rng.random((2, 50, 70, 1), dtype=np.float32))
+    direct = fn(x)
+    tiled = tiled_forward(fn, x, scale, tile=32, overlap=8)
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(direct), atol=1e-6)
+    assert tiled.shape == (2, 50 * scale, 70 * scale, 1)
+
+
+def test_tiled_forward_whole_image_passthrough(rng):
+    fn = _shift_invariant_fn(1)
+    x = jnp.asarray(rng.random((1, 16, 16, 1), dtype=np.float32))
+    out = tiled_forward(fn, x, 1, tile=64, overlap=8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(fn(x)), atol=1e-7)
+
+
+def test_tiled_forward_under_jit(rng):
+    fn = _shift_invariant_fn(2)
+    run = jax.jit(lambda x: tiled_forward(fn, x, 2, 32, 8))
+    x = jnp.asarray(rng.random((1, 48, 48, 1), dtype=np.float32))
+    np.testing.assert_allclose(np.asarray(run(x)), np.asarray(fn(x)), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# baseline + runner
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("deeprock_eval")
+    make_deeprock_dataset(root, hr_size=64, scale="X2", n_per_split=6)
+    return root
+
+
+def test_bicubic_baseline_reasonable(dataset):
+    idx = PairedIndex(str(dataset), "test", "X2")
+    loader = Loader(idx, 3)
+    res = bicubic_baseline(loader, 2)
+    assert res["n"] == 6
+    # our fake LR is PIL-bicubic downscaled from HR: upscale should beat 20 dB
+    assert res["psnr"] > 20.0
+    assert 0.5 < res["ssim"] <= 1.0
+
+
+def test_save_decision_rules():
+    # first-N
+    cfg = EvalConfig(save_n=3)
+    assert [_save_decision(i, cfg) for i in range(5)] == [True, True, True, False, False]
+    # every-Nth from start
+    cfg = EvalConfig(save_every=2, save_start=1, save_n=0)
+    assert [_save_decision(i, cfg) for i in range(6)] == [False, True, False, True, False, True]
+    # explicit indices dominate
+    cfg = EvalConfig(save_indices=(0, 4), save_every=2, save_n=3)
+    assert [_save_decision(i, cfg) for i in range(5)] == [True, False, False, False, True]
+
+
+def test_save_tensor_as_png(tmp_path, rng):
+    from PIL import Image
+
+    x = rng.random((16, 16, 1), dtype=np.float32)
+    save_tensor_as_png(x, tmp_path / "a.png")
+    back = np.asarray(Image.open(tmp_path / "a.png")).astype(np.float32) / 255.0
+    assert back.shape == (16, 16)
+    np.testing.assert_allclose(back, x[..., 0], atol=1 / 255.0 + 1e-6)
+    # rescale branch on constant image -> zeros, no crash
+    save_tensor_as_png(np.full((8, 8, 1), 0.7, np.float32), tmp_path / "b.png", True)
+
+
+class _IdentityModel:
+    """Pre-upscale-convention 'model': returns input (so SR == bicubic)."""
+
+    def apply(self, variables, x, train=False):
+        return x
+
+
+def test_evaluator_end_to_end(dataset, tmp_path):
+    idx = PairedIndex(str(dataset), "test", "X2")
+    loader = Loader(idx, 3)
+    ev = Evaluator(
+        _IdentityModel(), {}, 2, "pre_upscale",
+        EvalConfig(save_n=2), log=lambda s: None,
+    )
+    res = ev.run(loader, save_dir=str(tmp_path / "preds"))
+    base = bicubic_baseline(Loader(idx, 3), 2)
+    assert abs(res["psnr"] - base["psnr"]) < 1e-3  # identity == bicubic
+    assert res["n"] == 6 and res["mpix_per_s"] > 0
+    dumps = sorted(p.name for p in (tmp_path / "preds").iterdir())
+    assert dumps == [
+        "idx_000000_hr.png", "idx_000000_lr.png", "idx_000000_sr.png",
+        "idx_000001_hr.png", "idx_000001_lr.png", "idx_000001_sr.png",
+    ]
+
+
+def test_evaluator_tiled(dataset):
+    idx = PairedIndex(str(dataset), "test", "X2")
+    loader = Loader(idx, 2)
+    ev_whole = Evaluator(_IdentityModel(), {}, 2, "pre_upscale",
+                         EvalConfig(), log=lambda s: None)
+    ev_tiled = Evaluator(_IdentityModel(), {}, 2, "pre_upscale",
+                         EvalConfig(tile_size=48, tile_overlap=8), log=lambda s: None)
+    r1 = ev_whole.run(loader)
+    r2 = ev_tiled.run(Loader(idx, 2))
+    assert abs(r1["psnr"] - r2["psnr"]) < 1e-3
+
+
+def test_evaluator_raises_on_nonfinite(dataset):
+    class BadModel:
+        def apply(self, variables, x, train=False):
+            return x / 0.0
+
+    idx = PairedIndex(str(dataset), "test", "X2")
+    ev = Evaluator(BadModel(), {}, 2, "pre_upscale", EvalConfig(), log=lambda s: None)
+    with pytest.raises(RuntimeError, match="Non-finite"):
+        ev.run(Loader(idx, 2))

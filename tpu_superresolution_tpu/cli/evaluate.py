@@ -1,0 +1,97 @@
+"""Evaluation CLI — capability parity with the reference evaluate.py:54-234:
+
+    python -m tpu_superresolution_tpu.cli.evaluate \
+        --data_root /path/DeepRockSR-2D --scale X2 --ckpt best_X2 \
+        --save_n 16 --save_dir preds
+
+Computes the bicubic baseline, evaluates the checkpointed model on the
+test split (full-image or --tile tiled with overlap blending), and dumps
+LR/HR/SR PNG triplets per the save rules.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from tpu_superresolution_tpu.cli.common import report_devices, resolve_workers
+from tpu_superresolution_tpu.core.config import EvalConfig, MSResUNetConfig, build_model
+from tpu_superresolution_tpu.data import Loader, PairedIndex
+from tpu_superresolution_tpu.evaluate.baseline import bicubic_baseline
+from tpu_superresolution_tpu.evaluate.runner import Evaluator
+
+
+def build_argparser():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--scale", type=str, choices=["X2", "X4"], required=True)
+    ap.add_argument("--data_root", type=str, required=True)
+    ap.add_argument("--batch_size", type=int, default=4)
+    ap.add_argument("--workers", type=int, default=None)
+    ap.add_argument("--ckpt", type=str, required=True,
+                    help="Orbax checkpoint dir (from the train CLI)")
+    ap.add_argument("--save_dir", type=str, default="preds")
+    ap.add_argument("--save_n", type=int, default=16)
+    ap.add_argument("--save_every", type=int, default=0)
+    ap.add_argument("--save_start", type=int, default=0)
+    ap.add_argument("--save_indices", type=str, default="",
+                    help="comma-separated indices; overrides save_every")
+    ap.add_argument("--rescale_png", action="store_true")
+    ap.add_argument("--tile", type=int, default=0,
+                    help="tile size for tiled inference (0 = whole image)")
+    ap.add_argument("--tile_overlap", type=int, default=16)
+    ap.add_argument("--no_baseline", action="store_true")
+    return ap
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    report_devices()
+    scale_int = int(args.scale[1:])
+
+    from tpu_superresolution_tpu.train.checkpoint import (
+        load_weights_only,
+        model_config_from_checkpoint,
+    )
+
+    mcfg = model_config_from_checkpoint(args.ckpt) or MSResUNetConfig(scale=scale_int)
+    model = build_model(mcfg)
+    restored, meta = load_weights_only(args.ckpt)
+    variables = {"params": restored["params"]}
+    if restored.get("batch_stats"):
+        variables["batch_stats"] = restored["batch_stats"]
+    print(f"[ckpt] {args.ckpt}: model={mcfg.name} epoch={meta.get('epoch')}")
+
+    convention = "native_lr" if mcfg.upsamples_internally else "pre_upscale"
+    channels = mcfg.in_channels
+    idx_te = PairedIndex(args.data_root, "test", args.scale)
+    loader = Loader(
+        idx_te, args.batch_size, grayscale=channels == 1, channels=channels,
+        num_threads=resolve_workers(args.workers),
+    )
+    print(f"[data] test samples: {len(idx_te)} | steps: {len(loader)}")
+
+    if not args.no_baseline:
+        base = bicubic_baseline(loader, scale_int)
+        print(f"[baseline] Bicubic PSNR: {base['psnr']:.2f} dB | SSIM: {base['ssim']:.4f}")
+
+    save_indices = tuple(
+        int(s) for s in args.save_indices.split(",") if s.strip()
+    )
+    ecfg = EvalConfig(
+        batch_size=args.batch_size,
+        tile_size=args.tile or None,
+        tile_overlap=args.tile_overlap,
+        save_n=args.save_n,
+        save_every=args.save_every or None,
+        save_start=args.save_start,
+        save_indices=save_indices,
+        rescale_png=args.rescale_png,
+    )
+    ev = Evaluator(model, variables, scale_int, convention, ecfg)
+    results = ev.run(loader, save_dir=args.save_dir if (args.save_n or args.save_every or save_indices) else None)
+    print(f"[result] PSNR {results['psnr']:.2f} dB | SSIM {results['ssim']:.4f} | "
+          f"{results['mpix_per_s']:.1f} MPix/s")
+    return results
+
+
+if __name__ == "__main__":
+    main()

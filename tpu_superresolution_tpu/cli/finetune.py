@@ -1,0 +1,115 @@
+"""SwinIR fine-tuning CLI — capability parity with the reference
+finetune_swinir.py:213-374:
+
+    python -m tpu_superresolution_tpu.cli.finetune \
+        --data_root /path/DeepRockSR-2D --scale X4 \
+        --weights 001_classicalSR_DIV2K_s48w8_SwinIR-M_x4.pth
+
+Builds SwinIR-M (window 8, depths [6]x6, embed 180 — the exact config
+the reference uses, finetune_swinir.py:269-281), loads an official torch
+checkpoint through interop (handling the 'params' wrapper), optionally
+freezes by regex, and trains L1 with epoch-wise cosine annealing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+
+from tpu_superresolution_tpu.cli.common import report_devices, resolve_workers, seed_everything
+from tpu_superresolution_tpu.core.config import DataConfig, SwinIRConfig, TrainConfig, build_model
+from tpu_superresolution_tpu.data import Loader, PairedIndex
+from tpu_superresolution_tpu.train.engine import Trainer, build_optimizer, create_train_state
+
+
+def build_argparser():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data_root", type=str, required=True)
+    ap.add_argument("--scale", type=str, choices=["X2", "X4"], required=True)
+    ap.add_argument("--weights", type=str, default=None,
+                    help="official SwinIR .pth/.pt (torch) OR an Orbax checkpoint dir")
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--lr_patch", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=2e-5)
+    ap.add_argument("--weight_decay", type=float, default=0.0)
+    ap.add_argument("--workers", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--freeze_regex", type=str, default=None)
+    ap.add_argument("--scheduler", type=str, choices=["None", "Cosine"], default="Cosine")
+    ap.add_argument("--min_lr", type=float, default=2e-6)
+    ap.add_argument("--grad_clip", type=float, default=1.0)
+    ap.add_argument("--workdir", type=str, default=".")
+    return ap
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    key = seed_everything(args.seed)
+    report_devices()
+    scale_int = 2 if args.scale.upper() == "X2" else 4
+
+    mcfg = SwinIRConfig(scale=scale_int)  # SwinIR-M defaults
+    model = build_model(mcfg)
+
+    dcfg = DataConfig(
+        data_root=args.data_root, scale=args.scale, convention="native_lr",
+        lr_patch=args.lr_patch, do_flips=False, grayscale=False, channels=3,
+    )
+    tcfg = TrainConfig(
+        epochs=args.epochs, batch_size=args.batch_size, loss="l1",
+        lr=args.lr, weight_decay=args.weight_decay,
+        scheduler=args.scheduler.lower(), min_lr=args.min_lr,
+        grad_clip_norm=args.grad_clip, seed=args.seed,
+        freeze_regex=args.freeze_regex, finetune=True,
+    )
+
+    idx_tr = PairedIndex(args.data_root, "train", args.scale)
+    idx_va = PairedIndex(args.data_root, "valid", args.scale)
+    workers = resolve_workers(args.workers)
+    train_loader = Loader(idx_tr, args.batch_size, shuffle=True, drop_last=True,
+                          grayscale=False, channels=3, seed=args.seed, num_threads=workers)
+    valid_loader = Loader(idx_va, max(1, args.batch_size // 2),
+                          grayscale=False, channels=3, num_threads=workers)
+
+    init_x = jnp.zeros((1, args.lr_patch, args.lr_patch, 3), jnp.float32)
+    variables = model.init(jax.random.key(args.seed), init_x, train=False)
+    params, batch_stats = variables["params"], {}
+
+    if args.weights:
+        if args.weights.endswith((".pth", ".pt")):
+            from tpu_superresolution_tpu.interop import convert_swinir, load_torch_checkpoint
+
+            sd = load_torch_checkpoint(args.weights)
+            converted = convert_swinir(sd, scale=scale_int)
+            params = converted["params"]
+            print(f"[weights] loaded torch checkpoint: {args.weights}")
+        else:
+            from tpu_superresolution_tpu.train.checkpoint import load_weights_only
+
+            restored, _ = load_weights_only(args.weights)
+            params = restored["params"]
+            print(f"[weights] loaded orbax checkpoint: {args.weights}")
+
+    tx = build_optimizer(tcfg, len(train_loader), params)
+    state = create_train_state(model, params, batch_stats, tx)
+    if args.freeze_regex:
+        from tpu_superresolution_tpu.train.freeze import count_trainable, freeze_mask
+
+        mask = freeze_mask(params, args.freeze_regex)
+        print(f"[freeze] regex='{args.freeze_regex}', "
+              f"trainable={count_trainable(mask)}/{len(jax.tree.leaves(mask))}")
+
+    t_all = time.time()
+    trainer = Trainer(model, mcfg, dcfg, tcfg, workdir=args.workdir)
+    trainer.fit(state, train_loader, valid_loader, rng_key=key)
+    print(f"[time] total: {time.time() - t_all:.1f}s")
+    print(f"[done] best_val_loss={trainer.best_val_loss:.6f}, "
+          f"best_val_psnr={trainer.best_val_psnr:.2f} dB")
+
+
+if __name__ == "__main__":
+    main()

@@ -236,8 +236,12 @@ def register_model(name: str, config_cls: type, builder: Callable) -> None:
     model_registry[name] = (config_cls, builder)
 
 
-def build_model(config: ModelConfig):
-    """Build a Flax module from a config via the registry."""
+def build_model(config: ModelConfig, dtype=None):
+    """Build a Flax module from a config via the registry.
+
+    `dtype` sets the compute dtype (params stay fp32); bfloat16 is the
+    TPU production setting, fp32 the parity-test setting (default).
+    """
     # Import models lazily to avoid cycles; importing registers builders.
     from tpu_superresolution_tpu import models as _models  # noqa: F401
 
@@ -246,6 +250,8 @@ def build_model(config: ModelConfig):
             f"Unknown model '{config.name}'. Registered: {sorted(model_registry)}"
         )
     _, builder = model_registry[config.name]
+    if dtype is not None:
+        return builder(config, dtype=dtype)
     return builder(config)
 
 

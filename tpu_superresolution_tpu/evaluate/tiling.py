@@ -1,0 +1,112 @@
+"""Tiled whole-image inference with overlap blending — one jit'd program
+per (image size, tile grid).
+
+The SR-domain "context parallelism" (SURVEY.md §2.4/§5): the reference
+bounds attention cost with window partitioning and reflect-pads whole
+images (network_swinir.py:783-788), evaluating full images in one go;
+at TPU production sizes the idiomatic formulation is a static tile grid:
+
+- tile positions are numpy trace-time constants (final tiles clamp to
+  the image edge, overlapping their neighbor — no ragged tiles, no
+  dynamic shapes);
+- all tiles stack into ONE batched forward [B*nT, t, t, C] — MXU-dense,
+  one compile per grid;
+- overlap blending = unrolled at[].add scatter + precomputed weight-map
+  divide (uniform weights, matching the official SwinIR tiling recipe).
+
+Models that upsample internally (SwinIR/HAT/DAT) tile in LR space with
+output scale s; restoration models (MS_ResUNet/UNet2D, pre-upscaled
+inputs) tile in HR space with s=1.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=256)
+def tile_grid(size: int, tile: int, overlap: int) -> Tuple[int, ...]:
+    """1-D tile start offsets with `overlap` shared pixels per seam; the
+    last tile is clamped flush to the edge."""
+    if tile >= size:
+        return (0,)
+    stride = tile - overlap
+    if stride <= 0:
+        raise ValueError(f"overlap {overlap} >= tile {tile}")
+    starts = list(range(0, size - tile, stride))
+    starts.append(size - tile)
+    # clamping can duplicate the last start
+    out: List[int] = []
+    for s in starts:
+        if not out or s > out[-1]:
+            out.append(s)
+    return tuple(out)
+
+
+def tiled_forward(
+    apply_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    x: jnp.ndarray,
+    scale: int,
+    tile: int,
+    overlap: int,
+) -> jnp.ndarray:
+    """apply_fn: [N, t, t, C] -> [N, t*s, t*s, C] batched tile forward.
+    x: [B, H, W, C] inputs.  Returns [B, H*s, W*s, C].
+
+    Call under jit (shapes static); compiles once per (H, W, grid).
+    """
+    b, h, w, c = x.shape
+    ys = tile_grid(h, tile, overlap)
+    xs = tile_grid(w, tile, overlap)
+    t = min(tile, h, w)
+
+    if len(ys) == 1 and len(xs) == 1 and t >= max(h, w):
+        return apply_fn(x)
+
+    # ---- gather tiles into one batch ----
+    tiles = []
+    for y0 in ys:
+        for x0 in xs:
+            tiles.append(x[:, y0 : y0 + t, x0 : x0 + t, :])
+    batch = jnp.concatenate(tiles, axis=0)  # [nT*B, t, t, C]
+
+    out_tiles = apply_fn(batch)  # [nT*B, t*s, t*s, C]
+    ts = t * scale
+
+    # ---- scatter-add with uniform blend weights ----
+    out = jnp.zeros((b, h * scale, w * scale, c), out_tiles.dtype)
+    wmap = np.zeros((h * scale, w * scale, 1), np.float32)
+    i = 0
+    for y0 in ys:
+        for x0 in xs:
+            piece = out_tiles[i * b : (i + 1) * b]
+            out = out.at[:, y0 * scale : y0 * scale + ts, x0 * scale : x0 * scale + ts, :].add(
+                piece
+            )
+            wmap[y0 * scale : y0 * scale + ts, x0 * scale : x0 * scale + ts, :] += 1.0
+            i += 1
+    return out / jnp.asarray(wmap, out_tiles.dtype)[None]
+
+
+def make_tiled_apply(
+    model,
+    variables,
+    scale: int,
+    tile: int,
+    overlap: int,
+):
+    """jit'd whole-image SR function with tiling baked in."""
+
+    def tile_fn(batch):
+        return model.apply(variables, batch, train=False)
+
+    @jax.jit
+    def run(x):
+        return tiled_forward(tile_fn, x, scale, tile, overlap)
+
+    return run
