@@ -262,3 +262,190 @@ def convert_swinir(sd: Dict[str, np.ndarray], scale: int = 4) -> Dict[str, Any]:
             put_conv((name,), name)
 
     return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# HAT
+# ---------------------------------------------------------------------------
+
+
+def convert_hat(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference hat_arch.py state dict -> {'params': …}.
+
+    CAB sequential indices (hat_arch.py:67-72): cab.0 conv1, cab.2
+    conv2, cab.3.attention.{1,3} the SE squeeze/excite 1x1 convs.
+    The rpi_sa/rpi_oca buffers are skipped (trace-time constants here).
+    """
+    params: Dict[str, Any] = {}
+
+    def put_ln(jpath, tname):
+        _put(params, jpath + ("scale",), sd[tname + ".weight"])
+        _put(params, jpath + ("bias",), sd[tname + ".bias"])
+
+    def put_conv(jpath, tname):
+        _put(params, jpath + ("kernel",), _conv_w(sd[tname + ".weight"]))
+        if tname + ".bias" in sd:
+            _put(params, jpath + ("bias",), sd[tname + ".bias"])
+
+    def put_dense(jpath, tname):
+        _put(params, jpath + ("kernel",), sd[tname + ".weight"].T)
+        if tname + ".bias" in sd:
+            _put(params, jpath + ("bias",), sd[tname + ".bias"])
+
+    put_conv(("conv_first",), "conv_first")
+    if "patch_embed.norm.weight" in sd:
+        put_ln(("patch_norm",), "patch_embed.norm")
+
+    i = 0
+    while f"layers.{i}.residual_group.overlap_attn.qkv.weight" in sd:
+        lp = (f"layers_{i}",)
+        j = 0
+        while f"layers.{i}.residual_group.blocks.{j}.norm1.weight" in sd:
+            t = f"layers.{i}.residual_group.blocks.{j}"
+            bp = lp + (f"blocks_{j}",)
+            put_ln(bp + ("norm1",), f"{t}.norm1")
+            put_ln(bp + ("norm2",), f"{t}.norm2")
+            put_dense(bp + ("attn", "qkv"), f"{t}.attn.qkv")
+            put_dense(bp + ("attn", "proj"), f"{t}.attn.proj")
+            _put(params, bp + ("attn", "relative_position_bias_table"),
+                 sd[f"{t}.attn.relative_position_bias_table"])
+            put_conv(bp + ("conv_block", "conv1"), f"{t}.conv_block.cab.0")
+            put_conv(bp + ("conv_block", "conv2"), f"{t}.conv_block.cab.2")
+            put_conv(bp + ("conv_block", "ca", "fc1"), f"{t}.conv_block.cab.3.attention.1")
+            put_conv(bp + ("conv_block", "ca", "fc2"), f"{t}.conv_block.cab.3.attention.3")
+            put_dense(bp + ("mlp", "fc1"), f"{t}.mlp.fc1")
+            put_dense(bp + ("mlp", "fc2"), f"{t}.mlp.fc2")
+            j += 1
+        t = f"layers.{i}.residual_group.overlap_attn"
+        op = lp + ("overlap_attn",)
+        put_ln(op + ("norm1",), f"{t}.norm1")
+        put_ln(op + ("norm2",), f"{t}.norm2")
+        put_dense(op + ("qkv",), f"{t}.qkv")
+        put_dense(op + ("proj",), f"{t}.proj")
+        _put(params, op + ("relative_position_bias_table",),
+             sd[f"{t}.relative_position_bias_table"])
+        put_dense(op + ("mlp", "fc1"), f"{t}.mlp.fc1")
+        put_dense(op + ("mlp", "fc2"), f"{t}.mlp.fc2")
+        if f"layers.{i}.conv.weight" in sd:
+            put_conv(lp + ("conv",), f"layers.{i}.conv")
+        i += 1
+
+    put_ln(("norm",), "norm")
+    if "conv_after_body.weight" in sd:
+        put_conv(("conv_after_body",), "conv_after_body")
+    put_conv(("conv_before_upsample",), "conv_before_upsample.0")
+    k = 0
+    for t_idx in (0, 2, 4):
+        if f"upsample.{t_idx}.weight" in sd:
+            put_conv(("upsample", f"conv_{k}"), f"upsample.{t_idx}")
+            k += 1
+    put_conv(("conv_last",), "conv_last")
+    return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# DAT
+# ---------------------------------------------------------------------------
+
+
+def convert_dat(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference dat_arch.py state dict -> {'params', 'batch_stats'}.
+
+    Sequential indices: dwconv = [conv(0), BN(1), GELU];
+    channel_interaction = [GAP(0), conv(1), BN(2), GELU, conv(4)];
+    spatial_interaction = [conv(0), BN(1), GELU, conv(3)];
+    DynamicPosBias pos{1,2,3} = [LN(0), ReLU, Linear(2)].
+    Buffers (rpe_biases, relative_position_index, attn_mask_*) skipped.
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put_ln(jpath, tname):
+        _put(params, jpath + ("scale",), sd[tname + ".weight"])
+        _put(params, jpath + ("bias",), sd[tname + ".bias"])
+
+    def put_conv(jpath, tname):
+        _put(params, jpath + ("kernel",), _conv_w(sd[tname + ".weight"]))
+        if tname + ".bias" in sd:
+            _put(params, jpath + ("bias",), sd[tname + ".bias"])
+
+    def put_dense(jpath, tname):
+        _put(params, jpath + ("kernel",), sd[tname + ".weight"].T)
+        if tname + ".bias" in sd:
+            _put(params, jpath + ("bias",), sd[tname + ".bias"])
+
+    def put_bn(jpath, tname):
+        _put(params, jpath + ("scale",), sd[tname + ".weight"])
+        _put(params, jpath + ("bias",), sd[tname + ".bias"])
+        _put(stats, jpath + ("mean",), sd[tname + ".running_mean"])
+        _put(stats, jpath + ("var",), sd[tname + ".running_var"])
+
+    def put_aim(jp, tp):
+        put_conv(jp + ("dwconv", "conv"), f"{tp}.dwconv.0")
+        put_bn(jp + ("dwconv", "bn"), f"{tp}.dwconv.1")
+        put_conv(jp + ("channel_interaction", "fc1"), f"{tp}.channel_interaction.1")
+        put_bn(jp + ("channel_interaction", "bn"), f"{tp}.channel_interaction.2")
+        put_conv(jp + ("channel_interaction", "fc2"), f"{tp}.channel_interaction.4")
+        put_conv(jp + ("spatial_interaction", "fc1"), f"{tp}.spatial_interaction.0")
+        put_bn(jp + ("spatial_interaction", "bn"), f"{tp}.spatial_interaction.1")
+        put_conv(jp + ("spatial_interaction", "fc2"), f"{tp}.spatial_interaction.3")
+
+    put_conv(("conv_first",), "conv_first")
+    put_ln(("before_RG_norm",), "before_RG.1")
+
+    i = 0
+    while any(k.startswith(f"layers.{i}.") for k in sd):
+        lp = (f"layers_{i}",)
+        j = 0
+        while f"layers.{i}.blocks.{j}.norm1.weight" in sd:
+            t = f"layers.{i}.blocks.{j}"
+            bp = lp + (f"blocks_{j}",)
+            put_ln(bp + ("norm1",), f"{t}.norm1")
+            put_ln(bp + ("norm2",), f"{t}.norm2")
+            ap = bp + ("attn",)
+            put_dense(ap + ("qkv",), f"{t}.attn.qkv")
+            put_dense(ap + ("proj",), f"{t}.attn.proj")
+            put_aim(ap, f"{t}.attn")
+            if f"{t}.attn.temperature" in sd:  # channel block
+                _put(params, ap + ("temperature",), sd[f"{t}.attn.temperature"])
+            else:  # spatial block: two DynamicPosBias branches
+                for idx in (0, 1):
+                    pp = ap + (f"attns_{idx}", "pos")
+                    tpos = f"{t}.attn.attns.{idx}.pos"
+                    put_dense(pp + ("pos_proj",), f"{tpos}.pos_proj")
+                    for n in (1, 2, 3):
+                        put_ln(pp + (f"pos{n}_norm",), f"{tpos}.pos{n}.0")
+                        put_dense(pp + (f"pos{n}_fc",), f"{tpos}.pos{n}.2")
+            # SGFN
+            put_dense(bp + ("ffn", "fc1"), f"{t}.ffn.fc1")
+            put_dense(bp + ("ffn", "fc2"), f"{t}.ffn.fc2")
+            put_ln(bp + ("ffn", "sg_norm"), f"{t}.ffn.sg.norm")
+            put_conv(bp + ("ffn", "sg_conv"), f"{t}.ffn.sg.conv")
+            j += 1
+        if f"layers.{i}.conv.weight" in sd:
+            put_conv(lp + ("conv",), f"layers.{i}.conv")
+        elif f"layers.{i}.conv.0.weight" in sd:
+            put_conv(lp + ("conv_0",), f"layers.{i}.conv.0")
+            put_conv(lp + ("conv_2",), f"layers.{i}.conv.2")
+            put_conv(lp + ("conv_4",), f"layers.{i}.conv.4")
+        i += 1
+
+    put_ln(("norm",), "norm")
+    if "conv_after_body.weight" in sd:
+        put_conv(("conv_after_body",), "conv_after_body")
+    elif "conv_after_body.0.weight" in sd:
+        put_conv(("conv_after_body_0",), "conv_after_body.0")
+        put_conv(("conv_after_body_2",), "conv_after_body.2")
+        put_conv(("conv_after_body_4",), "conv_after_body.4")
+    if "conv_before_upsample.0.weight" in sd:
+        put_conv(("conv_before_upsample",), "conv_before_upsample.0")
+        k = 0
+        for t_idx in (0, 2, 4):
+            if f"upsample.{t_idx}.weight" in sd:
+                put_conv(("upsample", f"conv_{k}"), f"upsample.{t_idx}")
+                k += 1
+        put_conv(("conv_last",), "conv_last")
+    elif "upsample.0.weight" in sd:  # pixelshuffledirect
+        put_conv(("upsample", "conv"), "upsample.0")
+
+    return {"params": params, "batch_stats": stats}

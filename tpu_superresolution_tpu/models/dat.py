@@ -1,0 +1,445 @@
+"""DAT — Dual Aggregation Transformer, TPU-native (NHWC Flax).
+
+Capability parity with the reference ``modules/dat_arch.py:699-859``:
+
+- Alternating blocks (dat_arch.py:538-549): even b_idx -> adaptive
+  SPATIAL attention (dual rectangular-window branches on half channels,
+  H-rect idx0 = (s0, s1) windows, W-rect idx1 = (s1, s0) — :159-167),
+  odd b_idx -> adaptive CHANNEL attention (XCiT CxC attention over
+  L2-normalized q, k with learned per-head temperature — :497-501).
+- Shift parity rule (:290,389): shifts of (s0//2, s1//2) applied when
+  (rg even and b_idx in {2, 6, ...}) or (rg odd and b_idx in {0, 4, ...});
+  branch 0 rolls (-sh0, -sh1), branch 1 rolls (-sh1, -sh0).
+- Dynamic position bias (:93-130): CrossFormer-style MLP over the
+  (dh, dw) mother set generates the rect-window bias table per forward.
+- AIM cross-gating with OPPOSITE directions in the two block types
+  (:420-431 vs :510-521): spatial blocks gate attention by the conv
+  branch's channel map and conv by the attention's spatial map; channel
+  blocks swap the roles.
+- SGFN (:57-90): split-channel FFN, one half depthwise-conv gated.
+- Per-attention padding to split-size multiples + crop (:376-385) —
+  NO model-level check_image_size (matches the reference).
+
+All masks / rpe index sets are trace-time numpy constants.  Module
+names mirror torch keys for interop/torch_convert.convert_dat.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_superresolution_tpu.core.config import DATConfig, register_model
+from tpu_superresolution_tpu.models.blocks import (
+    PixelShuffleDirect,
+    PixelShuffleUpsample,
+)
+from tpu_superresolution_tpu.ops.window import (
+    rect_shift_attn_mask,
+    rect_window_partition,
+    rect_window_reverse,
+    relative_position_index,
+)
+
+Dtype = Any
+_TRUNC02 = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
+_LN_EPS = 1e-5
+
+
+def _rpe_biases(hsp: int, wsp: int) -> np.ndarray:
+    """Mother set of (dh, dw) offsets, [(2hsp-1)*(2wsp-1), 2] float32
+    (dat_arch.py:172-176)."""
+    bh = np.arange(1 - hsp, hsp)
+    bw = np.arange(1 - wsp, wsp)
+    b = np.stack(np.meshgrid(bh, bw, indexing="ij"))  # [2, 2h-1, 2w-1]
+    return b.reshape(2, -1).T.astype(np.float32)
+
+
+class DynamicPosBias(nn.Module):
+    """CrossFormer dynamic relative position bias MLP (dat_arch.py:93-130,
+    residual=False path)."""
+
+    pos_dim: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, biases):
+        x = nn.Dense(self.pos_dim, kernel_init=_TRUNC02, dtype=self.dtype,
+                     name="pos_proj")(biases)
+        for i, feat in ((1, self.pos_dim), (2, self.pos_dim), (3, self.num_heads)):
+            x = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name=f"pos{i}_norm")(x)
+            x = nn.relu(x)
+            x = nn.Dense(feat, kernel_init=_TRUNC02, dtype=self.dtype,
+                         name=f"pos{i}_fc")(x)
+        return x
+
+
+class SpatialAttentionBranch(nn.Module):
+    """One rectangular-window attention branch (dat_arch.py:133-244).
+    Operates on [B, H, W, Cb] half-channel features; qkv comes in
+    pre-projected."""
+
+    hsp: int
+    wsp: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v, mask=None):
+        b, h, w, c = q.shape
+        hsp, wsp, nh = self.hsp, self.wsp, self.num_heads
+        hd = c // nh
+        n = hsp * wsp
+        nw = (h // hsp) * (w // wsp)
+
+        def windows(x):
+            xw = rect_window_partition(x, hsp, wsp)  # [B*nW, n, C]
+            return xw.reshape(b, nw, n, nh, hd)
+
+        qw, kw, vw = windows(q), windows(k), windows(v)
+        attn = jnp.einsum("bwqhd,bwkhd->bwhqk", qw * (hd**-0.5), kw)
+
+        pos = DynamicPosBias(c // 4 // 4, nh, self.dtype, name="pos")(
+            jnp.asarray(_rpe_biases(hsp, wsp))
+        )  # [(2h-1)(2w-1), nh]
+        rpi = relative_position_index(hsp, wsp)
+        bias = pos[rpi.reshape(-1)].reshape(n, n, nh).transpose(2, 0, 1)
+        attn = attn + bias[None, None].astype(attn.dtype)
+
+        if mask is not None:
+            attn = attn + jnp.asarray(mask, attn.dtype)[None, :, None]
+        # reference softmaxes in the attn dtype (dat_arch.py:235)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+        out = jnp.einsum("bwhqk,bwkhd->bwqhd", attn, vw).reshape(b * nw, n, c)
+        return rect_window_reverse(out, hsp, wsp, h, w)
+
+
+class _DWConvBranch(nn.Module):
+    """dwconv 3x3 (groups=C) -> BN -> GELU (dat_arch.py:299-303)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        x = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=c,
+                    dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn")(x)
+        return nn.gelu(x, approximate=False)
+
+
+class _ChannelInteraction(nn.Module):
+    """GAP -> 1x1 C/8 -> BN -> GELU -> 1x1 C (dat_arch.py:304-310)."""
+
+    out_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = jnp.mean(x, axis=(1, 2), keepdims=True)
+        y = nn.Conv(self.out_dim // 8, (1, 1), dtype=self.dtype, name="fc1")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn")(y)
+        y = nn.gelu(y, approximate=False)
+        return nn.Conv(self.out_dim, (1, 1), dtype=self.dtype, name="fc2")(y)
+
+
+class _SpatialInteraction(nn.Module):
+    """1x1 C/16 -> BN -> GELU -> 1x1 1 (dat_arch.py:311-316)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        y = nn.Conv(c // 16, (1, 1), dtype=self.dtype, name="fc1")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn")(y)
+        y = nn.gelu(y, approximate=False)
+        return nn.Conv(1, (1, 1), dtype=self.dtype, name="fc2")(y)
+
+
+class AdaptiveSpatialAttention(nn.Module):
+    """Dual-branch rect-window attention + conv branch + AIM
+    (dat_arch.py:247-438)."""
+
+    dim: int
+    num_heads: int
+    split_size: Tuple[int, int]
+    qkv_bias: bool
+    do_shift: bool
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        s0, s1 = self.split_size
+        sh0, sh1 = s0 // 2, s1 // 2
+
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, kernel_init=_TRUNC02,
+                       dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        # conv branch on un-padded V (dat_arch.py:373,418)
+        conv_x = _DWConvBranch(self.dtype, name="dwconv")(v, train)
+
+        # pad to max-split multiple (dat_arch.py:376-385)
+        ms = max(s0, s1)
+        pad_b = (ms - h % ms) % ms
+        pad_r = (ms - w % ms) % ms
+        if pad_b or pad_r:
+            pads = ((0, 0), (0, pad_b), (0, pad_r), (0, 0))
+            q, k, v = (jnp.pad(t, pads) for t in (q, k, v))
+        hp, wp = h + pad_b, w + pad_r
+
+        half = c // 2
+        outs = []
+        for idx in (0, 1):
+            hsp, wsp = (s0, s1) if idx == 0 else (s1, s0)
+            shifts = (sh0, sh1) if idx == 0 else (sh1, sh0)
+            qi = q[..., idx * half : (idx + 1) * half]
+            ki = k[..., idx * half : (idx + 1) * half]
+            vi = v[..., idx * half : (idx + 1) * half]
+            mask = None
+            if self.do_shift and (shifts[0] or shifts[1]):
+                qi, ki, vi = (
+                    jnp.roll(t, (-shifts[0], -shifts[1]), axis=(1, 2))
+                    for t in (qi, ki, vi)
+                )
+                mask = rect_shift_attn_mask(hp, wp, hsp, wsp, shifts[0], shifts[1])
+            out = SpatialAttentionBranch(hsp, wsp, self.num_heads // 2,
+                                         self.dtype, name=f"attns_{idx}")(
+                qi, ki, vi, mask
+            )
+            if self.do_shift and (shifts[0] or shifts[1]):
+                out = jnp.roll(out, (shifts[0], shifts[1]), axis=(1, 2))
+            outs.append(out[:, :h, :w, :])
+        attened_x = jnp.concatenate(outs, axis=-1)
+
+        # ---- AIM (dat_arch.py:420-431): channel map gates attention,
+        # spatial map gates conv ----
+        channel_map = _ChannelInteraction(c, self.dtype, name="channel_interaction")(
+            conv_x, train
+        )
+        spatial_map = _SpatialInteraction(self.dtype, name="spatial_interaction")(
+            attened_x, train
+        )
+        attened_x = attened_x * jax.nn.sigmoid(channel_map)
+        conv_x = conv_x * jax.nn.sigmoid(spatial_map)
+
+        out = attened_x + conv_x
+        return nn.Dense(c, kernel_init=_TRUNC02, dtype=self.dtype, name="proj")(out)
+
+
+class AdaptiveChannelAttention(nn.Module):
+    """XCiT transposed attention + conv branch + AIM with swapped gating
+    (dat_arch.py:441-528)."""
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        nh = self.num_heads
+        hd = c // nh
+
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, kernel_init=_TRUNC02,
+                       dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads_t(t):
+            # [B,H,W,C] -> [B, nh, hd, N]: channel-token matrix per head
+            return t.reshape(b, h * w, nh, hd).transpose(0, 2, 3, 1)
+
+        qt, kt, vt = heads_t(q), heads_t(k), heads_t(v)
+        qt = qt / jnp.maximum(
+            jnp.linalg.norm(qt.astype(jnp.float32), axis=-1, keepdims=True), 1e-12
+        ).astype(qt.dtype)
+        kt = kt / jnp.maximum(
+            jnp.linalg.norm(kt.astype(jnp.float32), axis=-1, keepdims=True), 1e-12
+        ).astype(kt.dtype)
+
+        temperature = self.param("temperature", nn.initializers.ones, (nh, 1, 1))
+        attn = jnp.einsum("bhdn,bhen->bhde", qt, kt) * temperature.astype(qt.dtype)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhde,bhen->bhdn", attn, vt)  # [B, nh, hd, N]
+        attened_x = out.transpose(0, 3, 1, 2).reshape(b, h, w, c)
+
+        conv_x = _DWConvBranch(self.dtype, name="dwconv")(v, train)
+
+        # ---- AIM swapped (dat_arch.py:510-521): channel map from
+        # attention, spatial map from conv; attention gated spatially ----
+        channel_map = _ChannelInteraction(c, self.dtype, name="channel_interaction")(
+            attened_x, train
+        )
+        spatial_map = _SpatialInteraction(self.dtype, name="spatial_interaction")(
+            conv_x, train
+        )
+        attened_x = attened_x * jax.nn.sigmoid(spatial_map)
+        conv_x = conv_x * jax.nn.sigmoid(channel_map)
+
+        out = attened_x + conv_x
+        return nn.Dense(c, kernel_init=_TRUNC02, dtype=self.dtype, name="proj")(out)
+
+
+class SGFN(nn.Module):
+    """Spatial-gate FFN (dat_arch.py:38-90)."""
+
+    hidden: int
+    out_features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, kernel_init=_TRUNC02, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        half = self.hidden // 2
+        x1, x2 = x[..., :half], x[..., half:]
+        x2 = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="sg_norm")(x2)
+        x2 = nn.Conv(half, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=half,
+                     dtype=self.dtype, name="sg_conv")(x2)
+        x = x1 * x2
+        return nn.Dense(self.out_features, kernel_init=_TRUNC02, dtype=self.dtype,
+                        name="fc2")(x)
+
+
+class DATB(nn.Module):
+    """Dual aggregation block (dat_arch.py:531-565)."""
+
+    dim: int
+    num_heads: int
+    split_size: Tuple[int, int]
+    expansion_factor: float
+    qkv_bias: bool
+    rg_idx: int
+    b_idx: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        i, j = self.rg_idx, self.b_idx
+        do_shift = (i % 2 == 0 and j > 0 and (j - 2) % 4 == 0) or (
+            i % 2 != 0 and j % 4 == 0
+        )
+        y = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm1")(x)
+        if j % 2 == 0:
+            y = AdaptiveSpatialAttention(
+                self.dim, self.num_heads, self.split_size, self.qkv_bias,
+                do_shift, self.dtype, name="attn",
+            )(y, train)
+        else:
+            y = AdaptiveChannelAttention(
+                self.dim, self.num_heads, self.qkv_bias, self.dtype, name="attn"
+            )(y, train)
+        x = x + y
+        y = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm2")(x)
+        y = SGFN(int(self.dim * self.expansion_factor), self.dim, self.dtype,
+                 name="ffn")(y)
+        return x + y
+
+
+class ResidualGroup(nn.Module):
+    """depth x DATB -> conv3x3 -> + input (dat_arch.py:568-652)."""
+
+    dim: int
+    depth: int
+    num_heads: int
+    split_size: Tuple[int, int]
+    expansion_factor: float
+    qkv_bias: bool
+    rg_idx: int
+    resi_connection: str = "1conv"
+    use_remat: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        res = x
+        blk_cls = nn.remat(DATB, static_argnums=(2,)) if self.use_remat else DATB
+        for j in range(self.depth):
+            x = blk_cls(
+                self.dim, self.num_heads, self.split_size,
+                self.expansion_factor, self.qkv_bias, self.rg_idx, j,
+                self.dtype, name=f"blocks_{j}",
+            )(x, train)
+        if self.resi_connection == "1conv":
+            x = nn.Conv(self.dim, (3, 3), padding=((1, 1), (1, 1)),
+                        dtype=self.dtype, name="conv")(x)
+        else:
+            x = nn.Conv(self.dim // 4, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv_0")(x)
+            x = nn.leaky_relu(x, 0.2)
+            x = nn.Conv(self.dim // 4, (1, 1), dtype=self.dtype, name="conv_2")(x)
+            x = nn.leaky_relu(x, 0.2)
+            x = nn.Conv(self.dim, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv_4")(x)
+        return x + res
+
+
+class DAT(nn.Module):
+    config: DATConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.config
+        dt = self.dtype
+        x = x.astype(dt)
+
+        if cfg.in_channels == 3:
+            mean = jnp.asarray([0.4488, 0.4371, 0.4040], dtype=dt)
+        else:
+            mean = jnp.zeros((cfg.in_channels,), dtype=dt)
+        x = (x - mean) * cfg.img_range
+
+        x = nn.Conv(cfg.embed_dim, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=dt, name="conv_first")(x)
+
+        # before_RG: LayerNorm on channels (dat_arch.py:765-768)
+        feats = nn.LayerNorm(epsilon=_LN_EPS, dtype=dt, name="before_RG_norm")(x)
+        for i, depth in enumerate(cfg.depths):
+            feats = ResidualGroup(
+                cfg.embed_dim, depth, cfg.num_heads[i], cfg.split_size,
+                cfg.expansion_factor, cfg.qkv_bias, i,
+                cfg.resi_connection, cfg.use_remat, dt,
+                name=f"layers_{i}",
+            )(feats, train)
+        feats = nn.LayerNorm(epsilon=_LN_EPS, dtype=dt, name="norm")(feats)
+        if cfg.resi_connection == "1conv":
+            feats = nn.Conv(cfg.embed_dim, (3, 3), padding=((1, 1), (1, 1)),
+                            dtype=dt, name="conv_after_body")(feats)
+        else:
+            feats = nn.Conv(cfg.embed_dim // 4, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="conv_after_body_0")(feats)
+            feats = nn.leaky_relu(feats, 0.2)
+            feats = nn.Conv(cfg.embed_dim // 4, (1, 1), dtype=dt, name="conv_after_body_2")(feats)
+            feats = nn.leaky_relu(feats, 0.2)
+            feats = nn.Conv(cfg.embed_dim, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="conv_after_body_4")(feats)
+        x = feats + x
+
+        if cfg.upsampler == "pixelshuffle":
+            x = nn.Conv(cfg.num_feat, (3, 3), padding=((1, 1), (1, 1)),
+                        dtype=dt, name="conv_before_upsample")(x)
+            x = nn.leaky_relu(x, 0.01)
+            x = PixelShuffleUpsample(cfg.scale, cfg.num_feat, dt, name="upsample")(x)
+            x = nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                        dtype=dt, name="conv_last")(x)
+        elif cfg.upsampler == "pixelshuffledirect":
+            x = PixelShuffleDirect(cfg.scale, cfg.out_channels, dt, name="upsample")(x)
+        else:
+            raise ValueError(f"DAT upsampler '{cfg.upsampler}' not supported")
+
+        return x / cfg.img_range + mean
+
+
+def build_dat(config: DATConfig, dtype=jnp.float32) -> DAT:
+    return DAT(config=config, dtype=dtype)
+
+
+register_model("dat", DATConfig, build_dat)

@@ -1,0 +1,327 @@
+"""HAT — Hybrid Attention Transformer, TPU-native (NHWC Flax).
+
+Capability parity with the reference ``modules/hat_arch.py:710-994``:
+
+- HAB (hat_arch.py:200-310): Swin block with a PARALLEL conv branch —
+  ``x = shortcut + attn_x + conv_scale * CAB(x)`` where CAB is
+  conv(C->C/3) -> GELU -> conv -> RCAN channel attention (:41-75).
+- OCAB (hat_arch.py:353-439): overlapping cross-attention — q from
+  non-overlapping ws windows, k/v from enclosing ows windows extracted
+  with stride ws and zero padding (the reference's nn.Unfold :378).
+  Here the overlapping extraction is a static numpy-index gather on a
+  zero-padded tensor (trace-time constants; no unfold op needed).
+  NOTE: torch Unfold requires (ows - ws) even to tile correctly (true
+  for real HAT configs, e.g. ws=16 overlap 0.5); odd differences get an
+  asymmetric pad here so the window grid always matches q.
+- rpi_sa / rpi_oca tables and shifted masks are trace-time constants
+  (the reference recomputes attn_mask EVERY forward — hat_arch.py:955).
+- Only the 'pixelshuffle' reconstruction exists upstream (:864-869) and
+  here.
+
+Layout [B, H, W, C] end-to-end; module names mirror torch checkpoint
+keys for interop/torch_convert.convert_hat.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_superresolution_tpu.core.config import HATConfig, register_model
+from tpu_superresolution_tpu.models.blocks import (
+    Mlp,
+    PixelShuffleUpsample,
+    check_image_size,
+)
+from tpu_superresolution_tpu.ops.window import (
+    cyclic_shift,
+    cyclic_unshift,
+    relative_position_index,
+    relative_position_index_oca,
+    shift_attn_mask,
+    window_partition,
+    window_reverse,
+)
+
+Dtype = Any
+_TRUNC02 = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
+_LN_EPS = 1e-5
+
+
+class ChannelAttention(nn.Module):
+    """RCAN SE gate (hat_arch.py:41-59): GAP -> 1x1 squeeze -> ReLU ->
+    1x1 excite -> sigmoid, multiplied into the features."""
+
+    squeeze_factor: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        y = jnp.mean(x, axis=(1, 2), keepdims=True)
+        y = nn.Conv(c // self.squeeze_factor, (1, 1), dtype=self.dtype, name="fc1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(c, (1, 1), dtype=self.dtype, name="fc2")(y)
+        return x * jax.nn.sigmoid(y)
+
+
+class CAB(nn.Module):
+    """Conv attention branch (hat_arch.py:62-75)."""
+
+    compress_ratio: int = 3
+    squeeze_factor: int = 30
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        y = nn.Conv(c // self.compress_ratio, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv1")(x)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv2")(y)
+        return ChannelAttention(self.squeeze_factor, self.dtype, name="ca")(y)
+
+
+class WindowAttentionHAT(nn.Module):
+    """Same W-MSA math as SwinIR's (hat_arch.py:130-197); the rpi is a
+    trace-time constant rather than a forward argument."""
+
+    dim: int
+    window_size: int
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[np.ndarray] = None):
+        b, nw, n, c = x.shape
+        ws, nh = self.window_size, self.num_heads
+        hd = c // nh
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, kernel_init=_TRUNC02,
+                       dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, nw, n, 3, nh, hd)
+        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+        attn = jnp.einsum("bwqhd,bwkhd->bwhqk", q * (hd**-0.5), k)
+        table = self.param("relative_position_bias_table", _TRUNC02,
+                           ((2 * ws - 1) ** 2, nh))
+        rpi = relative_position_index(ws)
+        bias = table[rpi.reshape(-1)].reshape(n, n, nh).transpose(2, 0, 1)
+        attn = attn + bias[None, None].astype(attn.dtype)
+        if mask is not None:
+            attn = attn + jnp.asarray(mask, attn.dtype)[None, :, None]
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bwhqk,bwkhd->bwqhd", attn, v).reshape(b, nw, n, c)
+        return nn.Dense(c, kernel_init=_TRUNC02, dtype=self.dtype, name="proj")(out)
+
+
+class HAB(nn.Module):
+    """Hybrid attention block (hat_arch.py:200-310)."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+    shift_size: int
+    compress_ratio: int
+    squeeze_factor: int
+    conv_scale: float
+    mlp_ratio: float
+    qkv_bias: bool
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        ws, shift = self.window_size, self.shift_size
+        if min(h, w) <= ws:
+            ws, shift = min(h, w), 0
+
+        shortcut = x
+        x = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm1")(x)
+
+        conv_x = CAB(self.compress_ratio, self.squeeze_factor, self.dtype,
+                     name="conv_block")(x)
+
+        sx = cyclic_shift(x, shift)
+        nwh, nww = h // ws, w // ws
+        xw = window_partition(sx, ws).reshape(b, nwh * nww, ws * ws, c)
+        mask = shift_attn_mask(h, w, ws, shift) if shift > 0 else None
+        xw = WindowAttentionHAT(self.dim, ws, self.num_heads, self.qkv_bias,
+                                self.dtype, name="attn")(xw, mask)
+        attn_x = window_reverse(xw.reshape(-1, ws * ws, c), ws, h, w)
+        attn_x = cyclic_unshift(attn_x, shift)
+
+        x = shortcut + attn_x + conv_x * jnp.asarray(self.conv_scale, x.dtype)
+        y = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm2")(x)
+        y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype, name="mlp")(y)
+        return x + y
+
+
+def _overlap_windows(x: jnp.ndarray, ws: int, ows: int) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, nW, ows*ows, C] overlapping windows at stride
+    ws, zero-padded (torch nn.Unfold semantics, hat_arch.py:378,409).
+    Index arrays are numpy trace-time constants."""
+    b, h, w, c = x.shape
+    diff = ows - ws
+    p_lo = diff // 2
+    p_hi = diff - p_lo
+    xp = jnp.pad(x, ((0, 0), (p_lo, p_hi), (p_lo, p_hi), (0, 0)))
+    nwh, nww = h // ws, w // ws
+    row = ws * np.arange(nwh)[:, None] + np.arange(ows)[None]  # [nwh, ows]
+    col = ws * np.arange(nww)[:, None] + np.arange(ows)[None]
+    # gather rows then cols with static indices
+    xr = xp[:, row]  # [B, nwh, ows, Wp, C]
+    xrc = xr[:, :, :, col]  # [B, nwh, ows, nww, ows, C]
+    xrc = xrc.transpose(0, 1, 3, 2, 4, 5)  # [B, nwh, nww, ows, ows, C]
+    return xrc.reshape(b, nwh * nww, ows * ows, c)
+
+
+class OCAB(nn.Module):
+    """Overlapping cross-attention block (hat_arch.py:353-439)."""
+
+    dim: int
+    window_size: int
+    overlap_ratio: float
+    num_heads: int
+    qkv_bias: bool
+    mlp_ratio: float = 2.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        ws = self.window_size
+        ows = int(self.overlap_ratio * ws) + ws
+        nh = self.num_heads
+        hd = c // nh
+
+        shortcut = x
+        x = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm1")(x)
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, kernel_init=_TRUNC02,
+                       dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        nwh, nww = h // ws, w // ws
+        nw = nwh * nww
+        qw = window_partition(q, ws).reshape(b, nw, ws * ws, c)
+        kw = _overlap_windows(k, ws, ows)  # [B, nW, ows*ows, C]
+        vw = _overlap_windows(v, ws, ows)
+
+        qh = qw.reshape(b, nw, ws * ws, nh, hd)
+        kh = kw.reshape(b, nw, ows * ows, nh, hd)
+        vh = vw.reshape(b, nw, ows * ows, nh, hd)
+        attn = jnp.einsum("bwqhd,bwkhd->bwhqk", qh * (hd**-0.5), kh)
+
+        table = self.param("relative_position_bias_table", _TRUNC02,
+                           ((ws + ows - 1) ** 2, nh))
+        rpi = relative_position_index_oca(ws, ows)
+        bias = table[rpi.reshape(-1)].reshape(ws * ws, ows * ows, nh)
+        attn = attn + bias.transpose(2, 0, 1)[None, None].astype(attn.dtype)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bwhqk,bwkhd->bwqhd", attn, vh).reshape(b, nw, ws * ws, c)
+        out = window_reverse(out.reshape(-1, ws * ws, c), ws, h, w)
+        out = nn.Dense(c, kernel_init=_TRUNC02, dtype=self.dtype, name="proj")(out)
+        x = out + shortcut
+        y = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm2")(x)
+        y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype, name="mlp")(y)
+        return x + y
+
+
+class RHAG(nn.Module):
+    """Residual hybrid attention group (hat_arch.py:538-620): depth x HAB
+    (alternating shift) -> OCAB -> conv -> + input."""
+
+    dim: int
+    depth: int
+    num_heads: int
+    window_size: int
+    compress_ratio: int
+    squeeze_factor: int
+    conv_scale: float
+    overlap_ratio: float
+    mlp_ratio: float
+    qkv_bias: bool
+    resi_connection: str = "1conv"
+    use_remat: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        res = x
+        hab_cls = nn.remat(HAB) if self.use_remat else HAB
+        for j in range(self.depth):
+            x = hab_cls(
+                self.dim, self.num_heads, self.window_size,
+                0 if j % 2 == 0 else self.window_size // 2,
+                self.compress_ratio, self.squeeze_factor, self.conv_scale,
+                self.mlp_ratio, self.qkv_bias, self.dtype,
+                name=f"blocks_{j}",
+            )(x)
+        x = OCAB(self.dim, self.window_size, self.overlap_ratio,
+                 self.num_heads, self.qkv_bias, self.mlp_ratio, self.dtype,
+                 name="overlap_attn")(x)
+        if self.resi_connection == "1conv":
+            x = nn.Conv(self.dim, (3, 3), padding=((1, 1), (1, 1)),
+                        dtype=self.dtype, name="conv")(x)
+        # 'identity' -> no conv
+        return x + res
+
+
+class HAT(nn.Module):
+    config: HATConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.config
+        dt = self.dtype
+        h_in, w_in = x.shape[1], x.shape[2]
+        x = x.astype(dt)
+        x = check_image_size(x, cfg.window_size)
+
+        if cfg.in_channels == 3:
+            mean = jnp.asarray([0.4488, 0.4371, 0.4040], dtype=dt)
+        else:
+            mean = jnp.zeros((cfg.in_channels,), dtype=dt)
+        x = (x - mean) * cfg.img_range
+
+        x = nn.Conv(cfg.embed_dim, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=dt, name="conv_first")(x)
+
+        feats = x
+        if True:  # patch_norm default (hat_arch.py:758)
+            feats = nn.LayerNorm(epsilon=_LN_EPS, dtype=dt, name="patch_norm")(feats)
+        for i, depth in enumerate(cfg.depths):
+            feats = RHAG(
+                cfg.embed_dim, depth, cfg.num_heads[i], cfg.window_size,
+                cfg.compress_ratio, cfg.squeeze_factor, cfg.conv_scale,
+                cfg.overlap_ratio, cfg.mlp_ratio, cfg.qkv_bias,
+                cfg.resi_connection, cfg.use_remat, dt,
+                name=f"layers_{i}",
+            )(feats)
+        feats = nn.LayerNorm(epsilon=_LN_EPS, dtype=dt, name="norm")(feats)
+        if cfg.resi_connection == "1conv":
+            feats = nn.Conv(cfg.embed_dim, (3, 3), padding=((1, 1), (1, 1)),
+                            dtype=dt, name="conv_after_body")(feats)
+        x = feats + x
+
+        # only 'pixelshuffle' reconstruction exists in the reference
+        x = nn.Conv(cfg.num_feat, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=dt, name="conv_before_upsample")(x)
+        x = nn.leaky_relu(x, 0.01)
+        x = PixelShuffleUpsample(cfg.scale, cfg.num_feat, dt, name="upsample")(x)
+        x = nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=dt, name="conv_last")(x)
+
+        x = x / cfg.img_range + mean
+        return x[:, : h_in * cfg.scale, : w_in * cfg.scale, :]
+
+
+def build_hat(config: HATConfig, dtype=jnp.float32) -> HAT:
+    return HAT(config=config, dtype=dtype)
+
+
+register_model("hat", HATConfig, build_hat)

@@ -67,6 +67,43 @@ def shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
 
+def rect_window_partition(x: jnp.ndarray, hsp: int, wsp: int) -> jnp.ndarray:
+    """[B, H, W, C] -> [B*nW, hsp*wsp, C] rectangular windows (DAT's
+    img2windows, dat_arch.py:15-23; same enumeration as the square
+    partition, window shape hsp x wsp)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // hsp, hsp, w // wsp, wsp, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, hsp * wsp, c)
+
+
+def rect_window_reverse(windows: jnp.ndarray, hsp: int, wsp: int, h: int, w: int) -> jnp.ndarray:
+    """Inverse of rect_window_partition -> [B, H, W, C]."""
+    c = windows.shape[-1]
+    b = windows.shape[0] // ((h // hsp) * (w // wsp))
+    x = windows.reshape(b, h // hsp, w // wsp, hsp, wsp, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
+
+
+def rect_shift_attn_mask(
+    h: int, w: int, hsp: int, wsp: int, sh: int, sw: int
+) -> np.ndarray:
+    """Shifted-window mask for rectangular hsp x wsp windows with shifts
+    (sh, sw) on (H, W) (DAT's calculate_mask, dat_arch.py:318-361).
+    Returns [nW, hsp*wsp, hsp*wsp] float32 with 0 / -100."""
+    img = np.zeros((h, w), dtype=np.int32)
+    cnt = 0
+    for hs in (slice(0, -hsp), slice(-hsp, -sh if sh else None), slice(-sh, None) if sh else slice(0, 0)):
+        for wsl in (slice(0, -wsp), slice(-wsp, -sw if sw else None), slice(-sw, None) if sw else slice(0, 0)):
+            img[hs, wsl] = cnt
+            cnt += 1
+    m = img.reshape(h // hsp, hsp, w // wsp, wsp).transpose(0, 2, 1, 3)
+    m = m.reshape(-1, hsp * wsp)
+    diff = m[:, None, :] - m[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
 def relative_position_index(ws_h: int, ws_w: int | None = None) -> np.ndarray:
     """Swin relative-position index table, [ws_h*ws_w, ws_h*ws_w] int32.
 
