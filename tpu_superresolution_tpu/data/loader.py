@@ -31,6 +31,7 @@ class Loader:
         seed: int = 42,
         num_threads: int = 8,
         prefetch: int = 2,
+        use_native: str = "auto",  # "auto" | "never" | "always"
     ):
         self.index = index
         self.batch_size = batch_size
@@ -42,6 +43,9 @@ class Loader:
         self.num_threads = num_threads
         self.prefetch = prefetch
         self._epoch = 0
+        self._native_sizes = None  # ((lr_h, lr_w), (hr_h, hr_w)) when active
+        if use_native != "never":
+            self._try_enable_native(require=use_native == "always")
 
     def __len__(self) -> int:
         n = len(self.index)
@@ -62,12 +66,46 @@ class Loader:
             batches.pop()
         return batches
 
+    def _try_enable_native(self, require: bool = False):
+        """Use the C++ thread-pool decoder (data/native_decode.py) when the
+        library is available and the dataset is PNG with uniform sizes
+        (probed from the first pair)."""
+        from tpu_superresolution_tpu.data import native_decode
+
+        lr0, hr0 = self.index[0]
+        ok = (
+            str(lr0).lower().endswith(".png")
+            and str(hr0).lower().endswith(".png")
+            and native_decode.available()
+        )
+        if not ok:
+            if require:
+                raise RuntimeError("native decoder requested but unavailable")
+            return
+        lh, lw, _, _ = native_decode.probe(lr0)
+        hh, hw, _, _ = native_decode.probe(hr0)
+        self._native_sizes = ((lh, lw), (hh, hw))
+
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         batches = self._batch_indices()
         self._epoch += 1
 
         def load(idxs):
             pairs = [self.index[i] for i in idxs]
+            if self._native_sizes is not None:
+                from tpu_superresolution_tpu.data import native_decode
+
+                (lh, lw), (hh, hw) = self._native_sizes
+                try:
+                    lr = native_decode.decode_batch_native(
+                        [p[0] for p in pairs], lh, lw, self.grayscale, self.channels
+                    )
+                    hr = native_decode.decode_batch_native(
+                        [p[1] for p in pairs], hh, hw, self.grayscale, self.channels
+                    )
+                    return lr, hr
+                except IOError:
+                    pass  # size mismatch / odd file: PIL fallback below
             return load_pair_batch(pairs, self.grayscale, self.channels)
 
         with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
