@@ -168,3 +168,45 @@ def test_evaluator_raises_on_nonfinite(dataset):
     ev = Evaluator(BadModel(), {}, 2, "pre_upscale", EvalConfig(), log=lambda s: None)
     with pytest.raises(RuntimeError, match="Non-finite"):
         ev.run(Loader(idx, 2))
+
+
+def test_sharded_tiled_matches_direct(rng):
+    """8-device spatially-sharded tiled inference == single-device."""
+    import jax
+    from tpu_superresolution_tpu.evaluate.tiling import sharded_tiled_forward
+    from tpu_superresolution_tpu.parallel import make_mesh
+
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(8)
+    fn = _shift_invariant_fn(2)
+    x = jnp.asarray(rng.random((1, 48, 64, 1), dtype=np.float32))
+    direct = fn(x)
+    sharded = jax.jit(
+        lambda x: sharded_tiled_forward(fn, x, 2, 32, 8, mesh)
+    )(x)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(direct), atol=1e-5)
+
+
+def test_sharded_tiled_model(rng):
+    """Real Flax model through make_sharded_tiled_apply on the CPU mesh."""
+    import jax
+    from tpu_superresolution_tpu.core.config import SwinIRConfig, build_model
+    from tpu_superresolution_tpu.evaluate.tiling import (
+        make_sharded_tiled_apply,
+        make_tiled_apply,
+    )
+    from tpu_superresolution_tpu.parallel import make_mesh
+
+    cfg = SwinIRConfig(
+        scale=2, img_size=16, window_size=4, embed_dim=8, depths=(1,),
+        num_heads=(2,), upsampler="pixelshuffledirect",
+    )
+    model = build_model(cfg)
+    x = jnp.asarray(rng.random((1, 40, 40, 3), dtype=np.float32))
+    variables = model.init(jax.random.key(0), x[:, :16, :16, :], train=False)
+    mesh = make_mesh(8)
+    run_sharded = make_sharded_tiled_apply(model, variables, 2, 16, 4, mesh)
+    run_single = make_tiled_apply(model, variables, 2, 16, 4)
+    np.testing.assert_allclose(
+        np.asarray(run_sharded(x)), np.asarray(run_single(x)), atol=1e-5
+    )

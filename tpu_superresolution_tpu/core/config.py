@@ -99,6 +99,7 @@ class SwinIRConfig(ModelConfig):
     num_feat: int = 64
     img_range: float = 1.0
     use_remat: bool = False
+    attention_impl: str = "auto"  # "auto" | "jnp" | "pallas"
 
     @property
     def upsamples_internally(self) -> bool:
@@ -129,6 +130,7 @@ class HATConfig(ModelConfig):
     num_feat: int = 64
     img_range: float = 1.0
     use_remat: bool = False
+    attention_impl: str = "auto"  # "auto" | "jnp" | "pallas"
 
     @property
     def upsamples_internally(self) -> bool:

@@ -110,3 +110,85 @@ def make_tiled_apply(
         return tiled_forward(tile_fn, x, scale, tile, overlap)
 
     return run
+
+
+def sharded_tiled_forward(
+    apply_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    x: jnp.ndarray,
+    scale: int,
+    tile: int,
+    overlap: int,
+    mesh,
+    axis_name: str = "dp",
+) -> jnp.ndarray:
+    """Multi-chip tiled inference: the spatial domain sharded across the
+    mesh (SURVEY.md §2.4's SR-domain context parallelism).
+
+    The tile batch [nT*B, t, t, C] is partitioned across devices along
+    the tile axis; each chip runs its tile shard through the model; the
+    outputs are all-gathered over ICI and blended on every chip (the
+    blend is cheap relative to the model).  Tiles are padded to a
+    multiple of the mesh size with dummy tiles that are dropped after
+    the gather — shapes stay static for any grid.
+
+    Call under jit with `mesh` bound (the returned fn is already jit'd
+    by make_sharded_tiled_apply).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    b, h, w, c = x.shape
+    ys = tile_grid(h, tile, overlap)
+    xs = tile_grid(w, tile, overlap)
+    t = min(tile, h, w)
+    n_dev = mesh.shape[axis_name]
+
+    tiles = []
+    for y0 in ys:
+        for x0 in xs:
+            tiles.append(x[:, y0 : y0 + t, x0 : x0 + t, :])
+    batch = jnp.concatenate(tiles, axis=0)  # [nT*B, t, t, C]
+    n_tiles = batch.shape[0]
+    pad = (-n_tiles) % n_dev
+    if pad:
+        batch = jnp.concatenate([batch, jnp.zeros((pad,) + batch.shape[1:], batch.dtype)])
+
+    def per_shard(shard):
+        out = apply_fn(shard)
+        return jax.lax.all_gather(out, axis_name, axis=0, tiled=True)
+
+    out_tiles = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=P(axis_name),
+        out_specs=P(),
+        check_vma=False,  # all_gather output IS replicated; checker can't infer it
+    )(batch)
+    out_tiles = out_tiles[:n_tiles]
+
+    ts = t * scale
+    out = jnp.zeros((b, h * scale, w * scale, c), out_tiles.dtype)
+    wmap = np.zeros((h * scale, w * scale, 1), np.float32)
+    i = 0
+    for y0 in ys:
+        for x0 in xs:
+            piece = out_tiles[i * b : (i + 1) * b]
+            out = out.at[:, y0 * scale : y0 * scale + ts, x0 * scale : x0 * scale + ts, :].add(
+                piece
+            )
+            wmap[y0 * scale : y0 * scale + ts, x0 * scale : x0 * scale + ts, :] += 1.0
+            i += 1
+    return out / jnp.asarray(wmap, out_tiles.dtype)[None]
+
+
+def make_sharded_tiled_apply(model, variables, scale, tile, overlap, mesh):
+    """jit'd multi-chip whole-image SR function."""
+
+    def tile_fn(batch):
+        return model.apply(variables, batch, train=False)
+
+    @jax.jit
+    def run(x):
+        return sharded_tiled_forward(tile_fn, x, scale, tile, overlap, mesh)
+
+    return run

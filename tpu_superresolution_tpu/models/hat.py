@@ -94,10 +94,16 @@ class WindowAttentionHAT(nn.Module):
     window_size: int
     num_heads: int
     qkv_bias: bool = True
+    attn_impl: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask: Optional[np.ndarray] = None):
+        from tpu_superresolution_tpu.ops.pallas.window_attention import (
+            fused_window_attention,
+            resolve_attention_impl,
+        )
+
         b, nw, n, c = x.shape
         ws, nh = self.window_size, self.num_heads
         hd = c // nh
@@ -105,16 +111,25 @@ class WindowAttentionHAT(nn.Module):
                        dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, nw, n, 3, nh, hd)
         q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
-        attn = jnp.einsum("bwqhd,bwkhd->bwhqk", q * (hd**-0.5), k)
         table = self.param("relative_position_bias_table", _TRUNC02,
                            ((2 * ws - 1) ** 2, nh))
         rpi = relative_position_index(ws)
         bias = table[rpi.reshape(-1)].reshape(n, n, nh).transpose(2, 0, 1)
-        attn = attn + bias[None, None].astype(attn.dtype)
-        if mask is not None:
-            attn = attn + jnp.asarray(mask, attn.dtype)[None, :, None]
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
-        out = jnp.einsum("bwhqk,bwkhd->bwqhd", attn, v).reshape(b, nw, n, c)
+        if resolve_attention_impl(self.attn_impl) == "pallas":
+            to_kernel = lambda t: t.reshape(b * nw, n, nh, hd).transpose(0, 2, 1, 3)
+            m = jnp.asarray(mask) if mask is not None else None
+            out = fused_window_attention(
+                to_kernel(q), to_kernel(k), to_kernel(v),
+                bias.astype(jnp.float32), m, scale=hd**-0.5,
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(b, nw, n, c)
+        else:
+            attn = jnp.einsum("bwqhd,bwkhd->bwhqk", q * (hd**-0.5), k)
+            attn = attn + bias[None, None].astype(attn.dtype)
+            if mask is not None:
+                attn = attn + jnp.asarray(mask, attn.dtype)[None, :, None]
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+            out = jnp.einsum("bwhqk,bwkhd->bwqhd", attn, v).reshape(b, nw, n, c)
         return nn.Dense(c, kernel_init=_TRUNC02, dtype=self.dtype, name="proj")(out)
 
 
@@ -130,6 +145,7 @@ class HAB(nn.Module):
     conv_scale: float
     mlp_ratio: float
     qkv_bias: bool
+    attn_impl: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -150,7 +166,7 @@ class HAB(nn.Module):
         xw = window_partition(sx, ws).reshape(b, nwh * nww, ws * ws, c)
         mask = shift_attn_mask(h, w, ws, shift) if shift > 0 else None
         xw = WindowAttentionHAT(self.dim, ws, self.num_heads, self.qkv_bias,
-                                self.dtype, name="attn")(xw, mask)
+                                self.attn_impl, self.dtype, name="attn")(xw, mask)
         attn_x = window_reverse(xw.reshape(-1, ws * ws, c), ws, h, w)
         attn_x = cyclic_unshift(attn_x, shift)
 
@@ -188,6 +204,7 @@ class OCAB(nn.Module):
     num_heads: int
     qkv_bias: bool
     mlp_ratio: float = 2.0
+    attn_impl: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -210,18 +227,33 @@ class OCAB(nn.Module):
         kw = _overlap_windows(k, ws, ows)  # [B, nW, ows*ows, C]
         vw = _overlap_windows(v, ws, ows)
 
-        qh = qw.reshape(b, nw, ws * ws, nh, hd)
-        kh = kw.reshape(b, nw, ows * ows, nh, hd)
-        vh = vw.reshape(b, nw, ows * ows, nh, hd)
-        attn = jnp.einsum("bwqhd,bwkhd->bwhqk", qh * (hd**-0.5), kh)
+        from tpu_superresolution_tpu.ops.pallas.window_attention import (
+            fused_window_attention,
+            resolve_attention_impl,
+        )
 
         table = self.param("relative_position_bias_table", _TRUNC02,
                            ((ws + ows - 1) ** 2, nh))
         rpi = relative_position_index_oca(ws, ows)
         bias = table[rpi.reshape(-1)].reshape(ws * ws, ows * ows, nh)
-        attn = attn + bias.transpose(2, 0, 1)[None, None].astype(attn.dtype)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
-        out = jnp.einsum("bwhqk,bwkhd->bwqhd", attn, vh).reshape(b, nw, ws * ws, c)
+        bias = bias.transpose(2, 0, 1)  # [nh, ws*ws, ows*ows]
+
+        if resolve_attention_impl(self.attn_impl) == "pallas":
+            qk = qw.reshape(b * nw, ws * ws, nh, hd).transpose(0, 2, 1, 3)
+            kk = kw.reshape(b * nw, ows * ows, nh, hd).transpose(0, 2, 1, 3)
+            vk = vw.reshape(b * nw, ows * ows, nh, hd).transpose(0, 2, 1, 3)
+            out = fused_window_attention(
+                qk, kk, vk, bias.astype(jnp.float32), None, scale=hd**-0.5
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(b, nw, ws * ws, c)
+        else:
+            qh = qw.reshape(b, nw, ws * ws, nh, hd)
+            kh = kw.reshape(b, nw, ows * ows, nh, hd)
+            vh = vw.reshape(b, nw, ows * ows, nh, hd)
+            attn = jnp.einsum("bwqhd,bwkhd->bwhqk", qh * (hd**-0.5), kh)
+            attn = attn + bias[None, None].astype(attn.dtype)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+            out = jnp.einsum("bwhqk,bwkhd->bwqhd", attn, vh).reshape(b, nw, ws * ws, c)
         out = window_reverse(out.reshape(-1, ws * ws, c), ws, h, w)
         out = nn.Dense(c, kernel_init=_TRUNC02, dtype=self.dtype, name="proj")(out)
         x = out + shortcut
@@ -246,6 +278,7 @@ class RHAG(nn.Module):
     qkv_bias: bool
     resi_connection: str = "1conv"
     use_remat: bool = False
+    attn_impl: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -257,12 +290,12 @@ class RHAG(nn.Module):
                 self.dim, self.num_heads, self.window_size,
                 0 if j % 2 == 0 else self.window_size // 2,
                 self.compress_ratio, self.squeeze_factor, self.conv_scale,
-                self.mlp_ratio, self.qkv_bias, self.dtype,
+                self.mlp_ratio, self.qkv_bias, self.attn_impl, self.dtype,
                 name=f"blocks_{j}",
             )(x)
         x = OCAB(self.dim, self.window_size, self.overlap_ratio,
-                 self.num_heads, self.qkv_bias, self.mlp_ratio, self.dtype,
-                 name="overlap_attn")(x)
+                 self.num_heads, self.qkv_bias, self.mlp_ratio,
+                 self.attn_impl, self.dtype, name="overlap_attn")(x)
         if self.resi_connection == "1conv":
             x = nn.Conv(self.dim, (3, 3), padding=((1, 1), (1, 1)),
                         dtype=self.dtype, name="conv")(x)
@@ -299,7 +332,7 @@ class HAT(nn.Module):
                 cfg.embed_dim, depth, cfg.num_heads[i], cfg.window_size,
                 cfg.compress_ratio, cfg.squeeze_factor, cfg.conv_scale,
                 cfg.overlap_ratio, cfg.mlp_ratio, cfg.qkv_bias,
-                cfg.resi_connection, cfg.use_remat, dt,
+                cfg.resi_connection, cfg.use_remat, cfg.attention_impl, dt,
                 name=f"layers_{i}",
             )(feats)
         feats = nn.LayerNorm(epsilon=_LN_EPS, dtype=dt, name="norm")(feats)

@@ -59,17 +59,30 @@ _LN_EPS = 1e-5  # torch nn.LayerNorm default; flax default is 1e-6
 
 class WindowAttention(nn.Module):
     """W-MSA with learned relative position bias
-    (reference network_swinir.py:65-145)."""
+    (reference network_swinir.py:65-145).
+
+    Two interchangeable attention paths: the pure-jnp einsum path (used
+    on CPU / for parity tests) and the fused Pallas kernel
+    (ops/pallas/window_attention.py) which keeps QK^T+bias+mask+softmax
+    in VMEM — the jnp path's bias add makes XLA materialize the
+    [B*nW, nH, N, N] attention tensor in HBM.
+    """
 
     dim: int
     window_size: int
     num_heads: int
     qkv_bias: bool = True
+    attn_impl: str = "auto"  # "auto" | "jnp" | "pallas"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask: Optional[np.ndarray] = None):
         """x: [B, nW, N, C]; mask: [nW, N, N] numpy constant or None."""
+        from tpu_superresolution_tpu.ops.pallas.window_attention import (
+            fused_window_attention,
+            resolve_attention_impl,
+        )
+
         b, nw, n, c = x.shape
         ws = self.window_size
         nh = self.num_heads
@@ -85,8 +98,6 @@ class WindowAttention(nn.Module):
         )(x)
         qkv = qkv.reshape(b, nw, n, 3, nh, hd)
         q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
-        # [B, nW, N, nh, hd] -> attention over N
-        attn = jnp.einsum("bwqhd,bwkhd->bwhqk", q * scale, k)
 
         table = self.param(
             "relative_position_bias_table",
@@ -94,17 +105,25 @@ class WindowAttention(nn.Module):
             ((2 * ws - 1) ** 2, nh),
         )
         rpi = relative_position_index(ws)  # numpy [N, N]
-        bias = table[rpi.reshape(-1)].reshape(n, n, nh)
-        bias = bias.transpose(2, 0, 1).astype(attn.dtype)  # [nh, N, N]
-        attn = attn + bias[None, None]
+        bias = table[rpi.reshape(-1)].reshape(n, n, nh).transpose(2, 0, 1)
 
-        if mask is not None:
-            m = jnp.asarray(mask, dtype=attn.dtype)  # [nW, N, N]
-            attn = attn + m[None, :, None]
-
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
-        out = jnp.einsum("bwhqk,bwkhd->bwqhd", attn, v)
-        out = out.reshape(b, nw, n, c)
+        if resolve_attention_impl(self.attn_impl) == "pallas":
+            to_kernel = lambda t: t.reshape(b * nw, n, nh, hd).transpose(0, 2, 1, 3)
+            m = jnp.asarray(mask) if mask is not None else None
+            out = fused_window_attention(
+                to_kernel(q), to_kernel(k), to_kernel(v),
+                bias.astype(jnp.float32), m, scale=scale,
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(b, nw, n, c)
+        else:
+            # [B, nW, N, nh, hd] -> attention over N
+            attn = jnp.einsum("bwqhd,bwkhd->bwhqk", q * scale, k)
+            attn = attn + bias[None, None].astype(attn.dtype)
+            if mask is not None:
+                attn = attn + jnp.asarray(mask, dtype=attn.dtype)[None, :, None]
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+            out = jnp.einsum("bwhqk,bwkhd->bwqhd", attn, v)
+            out = out.reshape(b, nw, n, c)
         out = nn.Dense(c, kernel_init=_TRUNC02, dtype=self.dtype, name="proj")(out)
         return out
 
@@ -120,6 +139,7 @@ class SwinBlock(nn.Module):
     mlp_ratio: float = 2.0
     qkv_bias: bool = True
     drop_path_rate: float = 0.0
+    attn_impl: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -140,7 +160,8 @@ class SwinBlock(nn.Module):
         xw = window_partition(x, ws).reshape(b, nwh * nww, ws * ws, c)
         mask = shift_attn_mask(h, w, ws, shift) if shift > 0 else None
         xw = WindowAttention(
-            self.dim, ws, self.num_heads, self.qkv_bias, self.dtype, name="attn"
+            self.dim, ws, self.num_heads, self.qkv_bias, self.attn_impl,
+            self.dtype, name="attn"
         )(xw, mask)
         x = window_reverse(xw.reshape(-1, ws * ws, c), ws, h, w)
         x = cyclic_unshift(x, shift)
@@ -175,6 +196,7 @@ class RSTB(nn.Module):
     drop_path_rates: Tuple[float, ...]
     resi_connection: str = "1conv"
     use_remat: bool = False
+    attn_impl: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -192,6 +214,7 @@ class RSTB(nn.Module):
                 self.mlp_ratio,
                 self.qkv_bias,
                 self.drop_path_rates[j],
+                self.attn_impl,
                 self.dtype,
                 name=f"blocks_{j}",
             )(x, deterministic)
@@ -264,6 +287,7 @@ class SwinIR(nn.Module):
                 tuple(dpr[start : start + depth]),
                 cfg.resi_connection,
                 cfg.use_remat,
+                cfg.attention_impl,
                 dt,
                 name=f"layers_{i}",
             )(feats, deterministic=not train)

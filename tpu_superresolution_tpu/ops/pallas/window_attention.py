@@ -14,10 +14,13 @@ network_swinir.py:114-145) and HAT's HAB attention (hat_arch.py:166-197)
 — same math, shared here.
 
 Layout contract (caller prepares):
-  q, k, v: [B*nW, nH, N, hd]   (window-major, head, token, head-dim)
-  bias:    [nH, N, N] fp32     (already gathered from the RPB table)
-  mask:    [nW_mask, N, N] fp32 or None; window w uses mask[w % nW_mask]
-  returns  [B*nW, nH, N, hd]
+  q:       [B*nW, nH, Nq, hd]  (window-major, head, token, head-dim)
+  k, v:    [B*nW, nH, Nk, hd]  (Nk may differ from Nq — HAT's OCAB
+                                cross-attends ws^2 queries to ows^2 keys,
+                                hat_arch.py:393-429)
+  bias:    [nH, Nq, Nk] fp32   (already gathered from the RPB table)
+  mask:    [nW_mask, Nq, Nk] fp32 or None; window w uses mask[w % nW_mask]
+  returns  [B*nW, nH, Nq, hd]
 """
 
 from __future__ import annotations
@@ -32,26 +35,31 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *, num_heads, scale):
-    # block shapes: q/k/v/o [1, nH, N, hd]; bias [nH, N, N]; mask [1, N, N]
-    m = mask_ref[0] if mask_ref is not None else None
-    for h in range(num_heads):
-        q = q_ref[0, h].astype(jnp.float32) * scale  # [N, hd]
-        k = k_ref[0, h].astype(jnp.float32)
-        attn = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [N, N]
-        attn = attn + bias_ref[h]
-        if m is not None:
-            attn = attn + m
-        attn = jax.nn.softmax(attn, axis=-1)
-        v = v_ref[0, h].astype(jnp.float32)
-        o = jax.lax.dot_general(
-            attn, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        o_ref[0, h] = o.astype(o_ref.dtype)
+    # block shapes: q/k/v/o [G, nH, Nq/Nk, hd]; bias [nH, Nq, Nk];
+    # mask [G, Nq, Nk] (or None)
+    g_windows = q_ref.shape[0]
+    for g in range(g_windows):
+        m = mask_ref[g] if mask_ref is not None else None
+        for h in range(num_heads):
+            q = q_ref[g, h].astype(jnp.float32) * scale  # [Nq, hd]
+            k = k_ref[g, h].astype(jnp.float32)
+            attn = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [Nq, Nk]
+            attn = attn + bias_ref[h]
+            if m is not None:
+                attn = attn + m
+            attn = jax.nn.softmax(attn, axis=-1)
+            v = v_ref[g, h].astype(jnp.float32)
+            o = jax.lax.dot_general(
+                attn, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            o_ref[g, h] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("scale", "interpret", "windows_per_block")
+)
 def fused_window_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -60,22 +68,38 @@ def fused_window_attention(
     mask: Optional[jnp.ndarray] = None,
     scale: float = 1.0,
     interpret: bool = False,
+    windows_per_block: int = 8,
 ) -> jnp.ndarray:
-    """See module docstring for the layout contract."""
-    bw, nh, n, hd = q.shape
+    """See module docstring for the layout contract.
+
+    `windows_per_block` amortizes grid/DMA overhead across several
+    windows per kernel invocation; it must divide B*nW (auto-reduced to
+    the largest divisor otherwise).  When a mask is present it must also
+    divide nW_mask (or nW_mask must divide it cleanly in repetition —
+    the kernel block pulls `g % (nwm // G)`-style aligned slices), so we
+    additionally require G | nwm.
+    """
+    bw, nh, nq, hd = q.shape
+    nk = k.shape[2]
     bias = bias.astype(jnp.float32)
 
+    g = max(1, windows_per_block)
+    while bw % g or (mask is not None and mask.shape[0] % g):
+        g -= 1
+
     in_specs = [
-        pl.BlockSpec((1, nh, n, hd), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, nh, n, hd), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, nh, n, hd), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((nh, n, n), lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((g, nh, nq, hd), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((g, nh, nk, hd), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((g, nh, nk, hd), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nh, nq, nk), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
     ]
     args = [q, k, v, bias]
     if mask is not None:
-        nwm = mask.shape[0]
+        nwm_blocks = mask.shape[0] // g
         in_specs.append(
-            pl.BlockSpec((1, n, n), lambda g: (g % nwm, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (g, nq, nk), lambda i: (i % nwm_blocks, 0, 0), memory_space=pltpu.VMEM
+            )
         )
         args.append(mask.astype(jnp.float32))
         kernel = functools.partial(_kernel, num_heads=nh, scale=scale)
@@ -88,14 +112,30 @@ def fused_window_attention(
 
     return pl.pallas_call(
         kernel,
-        grid=(bw,),
+        grid=(bw // g,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, nh, n, hd), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM
+            (g, nh, nq, hd), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((bw, nh, n, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bw, nh, nq, hd), q.dtype),
         interpret=interpret,
     )(*args)
+
+
+def resolve_attention_impl(impl: str = "auto") -> str:
+    """'auto' -> 'pallas' on TPU hardware, 'jnp' elsewhere (CPU tests,
+    virtual meshes)."""
+    if impl != "auto":
+        return impl
+    import jax
+
+    try:
+        d = jax.devices()[0]
+        if d.platform == "tpu" or "TPU" in getattr(d, "device_kind", ""):
+            return "pallas"
+    except Exception:  # pragma: no cover
+        pass
+    return "jnp"
 
 
 def window_attention_reference(q, k, v, bias, mask=None, scale=1.0):
