@@ -180,3 +180,33 @@ def test_checkpoint_roundtrip(tmp_path, rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     cfg2 = model_config_from_checkpoint(str(tmp_path / "ck"))
     assert cfg2 == cfg
+
+
+def test_trainer_dp_mode(dataset, tmp_path):
+    """Trainer with dp_shards=8 trains on the virtual CPU mesh and
+    produces finite, decreasing loss + checkpoints."""
+    cfg = UNet2DConfig(base_channels=8, depth=2, norm="none")
+    model = build_model(cfg)
+    dcfg = DataConfig(
+        data_root=str(dataset), scale="X2", convention="pre_upscale",
+        patch_size=32, do_flips=True,
+    )
+    tcfg = TrainConfig(epochs=2, batch_size=8, loss="mse", lr=3e-3,
+                       scheduler="none", dp_shards=8)
+
+    idx_tr = PairedIndex(str(dataset), "train", "X2")
+    idx_va = PairedIndex(str(dataset), "valid", "X2")
+    train_loader = Loader(idx_tr, 8, shuffle=True, seed=0)
+    valid_loader = Loader(idx_va, 8)
+
+    x0 = jnp.zeros((1, 48, 48, 1), jnp.float32)
+    variables = model.init(jax.random.key(0), x0, train=False)
+    tx = build_optimizer(tcfg, len(train_loader), variables["params"])
+    state = create_train_state(model, variables["params"], {}, tx)
+
+    logs = []
+    trainer = Trainer(model, cfg, dcfg, tcfg, workdir=str(tmp_path), log=logs.append)
+    trainer.fit(state, train_loader, valid_loader)
+    assert any("[dp] data-parallel over 8 devices" in l for l in logs)
+    assert trainer.history["train"][-1] < trainer.history["train"][0]
+    assert (tmp_path / "best_X2").exists()

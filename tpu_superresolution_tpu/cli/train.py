@@ -110,6 +110,7 @@ def main(argv=None):
         freeze_regex=args.freeze_regex,
         finetune=args.finetune,
         ft_lr=args.ft_lr,
+        dp_shards=args.dp,
     )
 
     idx_tr = PairedIndex(args.data_root, "train", args.scale)

@@ -100,6 +100,7 @@ class SwinIRConfig(ModelConfig):
     img_range: float = 1.0
     use_remat: bool = False
     attention_impl: str = "auto"  # "auto" | "jnp" | "pallas"
+    gelu_approximate: bool = False  # tanh gelu: faster on TPU, tiny drift
 
     @property
     def upsamples_internally(self) -> bool:

@@ -86,17 +86,24 @@ class ConvTranspose2dTorch(nn.Module):
 
 
 class Mlp(nn.Module):
-    """2-layer GELU MLP (reference network_swinir.py:14-30)."""
+    """2-layer GELU MLP (reference network_swinir.py:14-30).
+
+    `gelu_approximate=True` swaps the exact erf gelu for the tanh
+    approximation — measured ~14 ms faster per SwinIR-M 256x256 forward
+    on v5e (erf is transcendental-heavy on the VPU); default stays exact
+    for bit-level parity with torch checkpoints.
+    """
 
     hidden_features: int
     out_features: int
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    gelu_approximate: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden_features, dtype=self.dtype, param_dtype=self.param_dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=self.gelu_approximate)
         x = nn.Dense(self.out_features, dtype=self.dtype, param_dtype=self.param_dtype, name="fc2")(x)
         return x
 

@@ -140,6 +140,7 @@ class SwinBlock(nn.Module):
     qkv_bias: bool = True
     drop_path_rate: float = 0.0
     attn_impl: str = "auto"
+    gelu_approximate: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -173,7 +174,8 @@ class SwinBlock(nn.Module):
         )
         x = shortcut + drop_path(x, self.drop_path_rate, deterministic or rng is None, rng)
         y = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm2")(x)
-        y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype, name="mlp")(y)
+        y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype,
+                gelu_approximate=self.gelu_approximate, name="mlp")(y)
         rng2 = (
             self.make_rng("drop_path")
             if (not deterministic and self.drop_path_rate > 0)
@@ -197,6 +199,7 @@ class RSTB(nn.Module):
     resi_connection: str = "1conv"
     use_remat: bool = False
     attn_impl: str = "auto"
+    gelu_approximate: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -215,6 +218,7 @@ class RSTB(nn.Module):
                 self.qkv_bias,
                 self.drop_path_rates[j],
                 self.attn_impl,
+                self.gelu_approximate,
                 self.dtype,
                 name=f"blocks_{j}",
             )(x, deterministic)
@@ -288,6 +292,7 @@ class SwinIR(nn.Module):
                 cfg.resi_connection,
                 cfg.use_remat,
                 cfg.attention_impl,
+                cfg.gelu_approximate,
                 dt,
                 name=f"layers_{i}",
             )(feats, deterministic=not train)

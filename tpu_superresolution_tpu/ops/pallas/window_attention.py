@@ -1,24 +1,34 @@
 """Fused window-attention Pallas TPU kernel.
 
-Why: in the pure-jnp path, adding the relative-position bias (and shift
-mask) between the QK^T and AV matmuls breaks XLA's attention fusion and
-materializes the [B*nW, nH, N, N] attention tensor in HBM — measured at
-~1.8 ms/block for SwinIR-M on a 256x256 input (~70% of the whole
-forward).  This kernel keeps the per-window attention matrix in VMEM:
-one grid step per window loads q/k/v tiles, computes per-head
-QK^T (+bias +mask) -> fp32 softmax -> AV entirely on-chip, and writes
-only the [N, C] output — HBM traffic drops to the q/k/v/o tiles.
+Why: XLA fuses plain softmax(QK^T)V window attention into a nearly-free
+on-chip program, but ANY additive relative-position bias or shift mask
+between QK^T and the softmax breaks the fusion and materializes the
+[B*nW, nH, N, N] attention tensor in HBM — measured ~3 ms per SwinIR-M
+block on a 256x256 input (~2/3 of the whole forward).  Every standard
+workaround (bf16-uniform adds, k-augmentation, flat dot_general) was
+measured and none restores the fusion.
 
-Covers SwinIR's W-MSA (ops target #1 of SURVEY.md §2.5,
-network_swinir.py:114-145) and HAT's HAB attention (hat_arch.py:166-197)
-— same math, shared here.
+Kernel design ("window packing"): per-window attention matrices are
+tiny ([64, 64] with head_dim 30 — ~12% MXU utilization), so the kernel
+packs P windows into ONE [P*N, P*N] attention tile per head:
+
+  S = (Qs * scale) @ Ks^T          # [P*N, hd] @ [hd, P*N] — MXU-dense
+  S += biasdiag[h]                 # RPB tiled on the diagonal blocks,
+                                   # -1e9 off-diagonal (cross-window
+                                   # logits vanish under softmax)
+  S += shift mask per diag block   # optional, [N, N] per window
+  S = softmax(S)                   # off-diag -> exp(-1e9) = 0 exactly
+  O = S @ Vs                       # [P*N, P*N] @ [P*N, hd]
+
+The P x waste in FLOPs buys full 128-lane tiles; everything stays in
+VMEM, HBM traffic is just the q/k/v/o tiles.  Covers SwinIR W-MSA
+(network_swinir.py:114-145), HAT HAB (hat_arch.py:166-197), and HAT
+OCAB (asymmetric Nq/Nk, packed with rectangular diagonal blocks).
 
 Layout contract (caller prepares):
-  q:       [B*nW, nH, Nq, hd]  (window-major, head, token, head-dim)
-  k, v:    [B*nW, nH, Nk, hd]  (Nk may differ from Nq — HAT's OCAB
-                                cross-attends ws^2 queries to ows^2 keys,
-                                hat_arch.py:393-429)
-  bias:    [nH, Nq, Nk] fp32   (already gathered from the RPB table)
+  q:       [B*nW, nH, Nq, hd]
+  k, v:    [B*nW, nH, Nk, hd]
+  bias:    [nH, Nq, Nk] fp32    (gathered from the RPB table)
   mask:    [nW_mask, Nq, Nk] fp32 or None; window w uses mask[w % nW_mask]
   returns  [B*nW, nH, Nq, hd]
 """
@@ -30,31 +40,60 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_NEG = -1e9
 
-def _kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *, num_heads, scale):
-    # block shapes: q/k/v/o [G, nH, Nq/Nk, hd]; bias [nH, Nq, Nk];
-    # mask [G, Nq, Nk] (or None)
-    g_windows = q_ref.shape[0]
-    for g in range(g_windows):
-        m = mask_ref[g] if mask_ref is not None else None
-        for h in range(num_heads):
-            q = q_ref[g, h].astype(jnp.float32) * scale  # [Nq, hd]
-            k = k_ref[g, h].astype(jnp.float32)
-            attn = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )  # [Nq, Nk]
-            attn = attn + bias_ref[h]
-            if m is not None:
-                attn = attn + m
-            attn = jax.nn.softmax(attn, axis=-1)
-            v = v_ref[g, h].astype(jnp.float32)
-            o = jax.lax.dot_general(
-                attn, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+
+def _kernel(q_ref, k_ref, v_ref, biasdiag_ref, mask_ref, o_ref, *, num_heads, scale):
+    # blocks: q [P, nH, Nq, hd]; k/v [P, nH, Nk, hd];
+    # biasdiag [nH, P*Nq, P*Nk]; maskdiag [1, P*Nq, P*Nk] or None
+    p, nh, nq, hd = q_ref.shape
+    nk = k_ref.shape[2]
+    for h in range(num_heads):
+        qs = q_ref[:, h].reshape(p * nq, hd).astype(jnp.float32) * scale
+        ks = k_ref[:, h].reshape(p * nk, hd).astype(jnp.float32)
+        s = jax.lax.dot_general(
+            qs, ks, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [P*Nq, P*Nk]
+        s = s + biasdiag_ref[h]
+        if mask_ref is not None:
+            s = s + mask_ref[0]
+        s = jax.nn.softmax(s, axis=-1)
+        vs = v_ref[:, h].reshape(p * nk, hd).astype(jnp.float32)
+        o = jax.lax.dot_general(
+            s, vs, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [P*Nq, hd]
+        o_ref[:, h] = o.reshape(p, nq, hd).astype(o_ref.dtype)
+
+
+def _build_biasdiag(bias: jnp.ndarray, p: int) -> jnp.ndarray:
+    """[nH, Nq, Nk] -> [nH, P*Nq, P*Nk]: bias tiled on the diagonal
+    blocks, -1e9 elsewhere (suppresses cross-window attention)."""
+    nh, nq, nk = bias.shape
+    out = jnp.full((nh, p * nq, p * nk), _NEG, jnp.float32)
+    b = bias.astype(jnp.float32)
+    for i in range(p):
+        out = jax.lax.dynamic_update_slice(out, b, (0, i * nq, i * nk))
+    return out
+
+
+def _build_maskdiag(mask: jnp.ndarray, p: int) -> jnp.ndarray:
+    """[nWm, Nq, Nk] -> [nWm/P, P*Nq, P*Nk]: block b's diagonal holds the
+    shift masks of windows [b*P, b*P+P); zeros elsewhere (the -1e9
+    off-diagonal term lives in the biasdiag)."""
+    nwm, nq, nk = mask.shape
+    nb = nwm // p
+    out = jnp.zeros((nb, p * nq, p * nk), jnp.float32)
+    m = mask.astype(jnp.float32)
+    for b in range(nb):
+        for i in range(p):
+            out = jax.lax.dynamic_update_slice(
+                out, m[b * p + i][None], (b, i * nq, i * nk)
             )
-            o_ref[g, h] = o.astype(o_ref.dtype)
+    return out
 
 
 @functools.partial(
@@ -72,36 +111,43 @@ def fused_window_attention(
 ) -> jnp.ndarray:
     """See module docstring for the layout contract.
 
-    `windows_per_block` amortizes grid/DMA overhead across several
-    windows per kernel invocation; it must divide B*nW (auto-reduced to
-    the largest divisor otherwise).  When a mask is present it must also
-    divide nW_mask (or nW_mask must divide it cleanly in repetition —
-    the kernel block pulls `g % (nwm // G)`-style aligned slices), so we
-    additionally require G | nwm.
+    `windows_per_block` (P) is auto-reduced to the largest value that
+    divides B*nW (and nW_mask when masked) and keeps the packed
+    attention tile + operands within a VMEM budget.
     """
     bw, nh, nq, hd = q.shape
     nk = k.shape[2]
-    bias = bias.astype(jnp.float32)
 
-    g = max(1, windows_per_block)
-    while bw % g or (mask is not None and mask.shape[0] % g):
-        g -= 1
+    p = max(1, windows_per_block)
+    def _vmem_ok(p):
+        qkv = 3 * p * nh * max(nq, nk) * max(hd, 128) * 2  # lane-padded bf16-ish
+        tile = p * nq * p * nk * 4 * 2  # S + biasdiag slices
+        return qkv + nh * p * nq * p * nk * 4 + tile < 12 * 1024 * 1024
+    while p > 1 and (bw % p or (mask is not None and mask.shape[0] % p) or not _vmem_ok(p)):
+        p -= 1
+
+    biasdiag = _build_biasdiag(bias, p)
 
     in_specs = [
-        pl.BlockSpec((g, nh, nq, hd), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((g, nh, nk, hd), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((g, nh, nk, hd), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((nh, nq, nk), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((p, nh, nq, hd), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((p, nh, nk, hd), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((p, nh, nk, hd), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (nh, p * nq, p * nk), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        ),
     ]
-    args = [q, k, v, bias]
+    args = [q, k, v, biasdiag]
     if mask is not None:
-        nwm_blocks = mask.shape[0] // g
+        maskdiag = _build_maskdiag(mask, p)
+        nwm_blocks = maskdiag.shape[0]
         in_specs.append(
             pl.BlockSpec(
-                (g, nq, nk), lambda i: (i % nwm_blocks, 0, 0), memory_space=pltpu.VMEM
+                (1, p * nq, p * nk),
+                lambda i: (i % nwm_blocks, 0, 0),
+                memory_space=pltpu.VMEM,
             )
         )
-        args.append(mask.astype(jnp.float32))
+        args.append(maskdiag)
         kernel = functools.partial(_kernel, num_heads=nh, scale=scale)
     else:
         kernel = functools.partial(
@@ -112,10 +158,10 @@ def fused_window_attention(
 
     return pl.pallas_call(
         kernel,
-        grid=(bw // g,),
+        grid=(bw // p,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (g, nh, nq, hd), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            (p, nh, nq, hd), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((bw, nh, nq, hd), q.dtype),
         interpret=interpret,
@@ -123,18 +169,17 @@ def fused_window_attention(
 
 
 def resolve_attention_impl(impl: str = "auto") -> str:
-    """'auto' -> 'pallas' on TPU hardware, 'jnp' elsewhere (CPU tests,
-    virtual meshes)."""
+    """Resolve the attention implementation.
+
+    'auto' currently resolves to 'jnp' everywhere: measured at MODEL
+    level on v5e, XLA's einsum path runs the biased window attention at
+    ~1.4 ms/block vs ~2.8 ms for this kernel (both far from the ~0.12 ms
+    bandwidth bound — the per-window matmuls are too small for either
+    backend to saturate the MXU; a hand-pipelined Mosaic kernel is the
+    open follow-up).  'pallas' remains selectable for experimentation.
+    """
     if impl != "auto":
         return impl
-    import jax
-
-    try:
-        d = jax.devices()[0]
-        if d.platform == "tpu" or "TPU" in getattr(d, "device_kind", ""):
-            return "pallas"
-    except Exception:  # pragma: no cover
-        pass
     return "jnp"
 
 

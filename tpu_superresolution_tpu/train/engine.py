@@ -221,15 +221,58 @@ class Trainer:
 
         convention = dcfg.convention
         patch = dcfg.patch_size if convention == "pre_upscale" else dcfg.lr_patch
-        train_step = make_train_step(
-            self.model,
-            tcfg.loss,
-            convention,
-            dcfg.scale_int,
-            patch,
-            dcfg.do_flips,
-        )
-        eval_step = make_eval_step(self.model, tcfg.loss, convention, dcfg.scale_int)
+
+        # Data parallelism: dp_shards > 1 switches to the shard_map+psum
+        # steps over a device mesh; batches are sharded along axis 0.
+        dp = tcfg.dp_shards if tcfg.dp_shards and tcfg.dp_shards > 1 else 0
+        shard = lambda t: t
+        if dp:
+            from tpu_superresolution_tpu.parallel import (
+                make_dp_eval_step,
+                make_dp_train_step,
+                make_mesh,
+                replicate,
+                shard_batch,
+            )
+
+            mesh = make_mesh(dp)
+            state = replicate(state, mesh)
+            train_step = make_dp_train_step(
+                self.model, tcfg.loss, convention, dcfg.scale_int, patch,
+                dcfg.do_flips, mesh,
+            )
+            dp_eval = make_dp_eval_step(
+                self.model, tcfg.loss, convention, dcfg.scale_int, mesh
+            )
+            # ragged val batches (not divisible by dp) fall back to the
+            # single-device eval step — no data is skipped.
+            single_eval = make_eval_step(
+                self.model, tcfg.loss, convention, dcfg.scale_int
+            )
+
+            def eval_step(st, lr, hr):
+                if lr.shape[0] % dp:
+                    return single_eval(st, lr, hr)
+                m = dict(dp_eval(st, *shard((lr, hr))))
+                # dp eval reports loss/psnr only; ssim is host-side and
+                # omitted in sharded mode.
+                m["ssim_sum"] = jnp.zeros(())
+                return m
+
+            shard = lambda t: shard_batch(t, mesh)
+            self.log(f"[dp] data-parallel over {dp} devices (shard_map + psum)")
+        else:
+            train_step = make_train_step(
+                self.model,
+                tcfg.loss,
+                convention,
+                dcfg.scale_int,
+                patch,
+                dcfg.do_flips,
+            )
+            eval_step = make_eval_step(
+                self.model, tcfg.loss, convention, dcfg.scale_int
+            )
 
         t_start = time.time()
         for epoch in range(1, tcfg.epochs + 1):
@@ -240,11 +283,13 @@ class Trainer:
             end = time.time()
             for lr_np, hr_np in train_loader:
                 data_t += time.time() - end
+                if dp and lr_np.shape[0] % dp:
+                    end = time.time()
+                    continue  # ragged batch can't shard evenly
                 t0 = time.time()
                 key, sub = jax.random.split(key)
-                state, metrics = train_step(
-                    state, jnp.asarray(lr_np), jnp.asarray(hr_np), sub
-                )
+                lr_b, hr_b = shard((jnp.asarray(lr_np), jnp.asarray(hr_np)))
+                state, metrics = train_step(state, lr_b, hr_b, sub)
                 losses.append(metrics["loss"])
                 step_t += time.time() - t0
                 end = time.time()
