@@ -134,3 +134,83 @@ def make_eval_batch_preupscale(lr: jnp.ndarray, scale: int) -> jnp.ndarray:
     """Eval pipeline (build_pair_transform_eval, sr_transforms.py:154-162):
     full-image bicubic pre-upscale, no aug."""
     return pre_upscale_batch(lr, scale)
+
+
+# ---------------------------------------------------------------------------
+# Extended augmentation (reference notebook pipeline, cnn.ipynb cell 22:
+# PairGaussianBlur with a shared sigma per pair at p=0.5, PairNormalize
+# with dataset stats; stats pass in cell 17)
+# ---------------------------------------------------------------------------
+
+
+def _gaussian_kernel1d(sigma, radius: int):
+    """Traced 1-D gaussian of static radius (sigma may be a traced value)."""
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-(x**2) / (2.0 * sigma**2))
+    return k / k.sum()
+
+
+def gaussian_blur(x: jnp.ndarray, sigma, radius: int = 4) -> jnp.ndarray:
+    """Separable gaussian blur on [B, H, W, C] with reflect padding
+    (torchvision GaussianBlur semantics).  `sigma` may be traced (drawn
+    from jax.random); the kernel RADIUS is static."""
+    k = _gaussian_kernel1d(sigma, radius)
+    xp = jnp.pad(x, ((0, 0), (radius, radius), (0, 0), (0, 0)), mode="reflect")
+    kh = k.reshape(-1, 1, 1, 1).astype(x.dtype)  # [K,1,1,1] depthwise over H
+    c = x.shape[-1]
+    xh = jax.lax.conv_general_dilated(
+        xp, jnp.tile(kh, (1, 1, 1, c)), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+    )
+    xp = jnp.pad(xh, ((0, 0), (0, 0), (radius, radius), (0, 0)), mode="reflect")
+    kw = k.reshape(1, -1, 1, 1).astype(x.dtype)
+    return jax.lax.conv_general_dilated(
+        xp, jnp.tile(kw, (1, 1, 1, c)), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+    )
+
+
+def paired_random_blur(
+    lr: jnp.ndarray,
+    hr: jnp.ndarray,
+    key: jax.Array,
+    p: float = 0.5,
+    sigma_range: Tuple[float, float] = (0.1, 2.0),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """PairGaussianBlur (cnn.ipynb cell 22): one shared sigma per pair,
+    applied to BOTH with probability p.  Per-image decisions."""
+    b = lr.shape[0]
+    kp, ks = jax.random.split(key)
+    do = jax.random.bernoulli(kp, p, (b, 1, 1, 1))
+    sigma = jax.random.uniform(
+        ks, (), minval=sigma_range[0], maxval=sigma_range[1]
+    )
+    lr_b = gaussian_blur(lr, sigma)
+    hr_b = gaussian_blur(hr, sigma)
+    return jnp.where(do, lr_b, lr), jnp.where(do, hr_b, hr)
+
+
+def normalize(x: jnp.ndarray, mean: float, std: float) -> jnp.ndarray:
+    """PairNormalize (cnn.ipynb cell 22): (x - mean) / std."""
+    return (x - mean) / std
+
+
+def denormalize(x: jnp.ndarray, mean: float, std: float) -> jnp.ndarray:
+    return x * std + mean
+
+
+def dataset_mean_std(loader, use_hr: bool = True) -> Tuple[float, float]:
+    """Streaming dataset mean/std (the reference's hist-based
+    mean_std_via_hist_from_ds, cnn.ipynb cell 17 — exact moments here;
+    the published HR stats were mean=0.45161797 std=0.20893379, cell 20)."""
+    import numpy as np
+
+    s = ss = n = 0.0
+    for lr_np, hr_np in loader:
+        x = hr_np if use_hr else lr_np
+        s += float(x.sum())
+        ss += float((x.astype(np.float64) ** 2).sum())
+        n += x.size
+    mean = s / max(n, 1.0)
+    var = ss / max(n, 1.0) - mean * mean
+    return mean, float(np.sqrt(max(var, 0.0)))

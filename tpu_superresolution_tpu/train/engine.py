@@ -357,7 +357,27 @@ class Trainer:
                 )
 
         self.save_loss_curve(f"{self.workdir}/loss_curve_{dcfg.scale}.png")
+        self.save_run_report(f"{self.workdir}/run_{dcfg.scale}.json")
         return state
+
+    def save_run_report(self, path: str):
+        """Machine-readable experiment record (replaces the reference's
+        manual markdown log in results.ipynb): configs + per-epoch
+        history + bests."""
+        import dataclasses
+        import json
+
+        report = {
+            "model_config": self.model_config.to_dict(),
+            "data_config": dataclasses.asdict(self.data_config),
+            "train_config": dataclasses.asdict(self.train_config),
+            "history": self.history,
+            "best_val_loss": self.best_val_loss,
+            "best_val_psnr": self.best_val_psnr,
+        }
+        with open(path, "w") as f:
+            json.dump(report, f, indent=1, default=str)
+        self.log(f"[report] saved run report to {path}")
 
     def save_loss_curve(self, path: str):
         """Loss-curve PNG artifact (reference train.py:403-419)."""
