@@ -43,6 +43,12 @@ def build_argparser():
     ap.add_argument("--min_lr", type=float, default=2e-6)
     ap.add_argument("--grad_clip", type=float, default=1.0)
     ap.add_argument("--workdir", type=str, default=".")
+    # architecture overrides (default = SwinIR-M, the reference's config;
+    # smaller values for smoke tests)
+    ap.add_argument("--embed_dim", type=int, default=180)
+    ap.add_argument("--depths", type=str, default="6,6,6,6,6,6")
+    ap.add_argument("--num_heads", type=str, default="6,6,6,6,6,6")
+    ap.add_argument("--window_size", type=int, default=8)
     return ap
 
 
@@ -52,7 +58,12 @@ def main(argv=None):
     report_devices()
     scale_int = 2 if args.scale.upper() == "X2" else 4
 
-    mcfg = SwinIRConfig(scale=scale_int)  # SwinIR-M defaults
+    depths = tuple(int(d) for d in args.depths.split(","))
+    heads = tuple(int(h) for h in args.num_heads.split(","))
+    mcfg = SwinIRConfig(
+        scale=scale_int, embed_dim=args.embed_dim, depths=depths,
+        num_heads=heads, window_size=args.window_size,
+    )  # defaults = SwinIR-M
     model = build_model(mcfg)
 
     dcfg = DataConfig(
