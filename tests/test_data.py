@@ -1,5 +1,6 @@
 """Data layer tests: index pairing, decode, on-device transforms, loader."""
 
+from pathlib import Path
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -134,3 +135,47 @@ def test_loader_drop_last(dataset):
     assert len(loader) == 1
     batches = list(loader)
     assert len(batches) == 1
+
+
+def test_loader_host_crop(dataset):
+    idx = PairedIndex(str(dataset), "train", "X2")
+    loader = Loader(idx, 4, host_crop_hr=32, host_crop_scale=2, seed=5)
+    lr, hr = next(iter(loader))
+    assert lr.shape == (4, 16, 16, 1) and hr.shape == (4, 32, 32, 1)
+    # alignment: LR crop must equal the scale-decimated HR window when the
+    # LR was built by exact decimation... our fake LR is bicubic, so just
+    # verify determinism + variation instead
+    loader2 = Loader(idx, 4, host_crop_hr=32, host_crop_scale=2, seed=5)
+    lr2, hr2 = next(iter(loader2))
+    np.testing.assert_array_equal(lr, lr2)
+    np.testing.assert_array_equal(hr, hr2)
+    # second epoch gives different crops
+    lr3, hr3 = next(iter(loader))
+    assert not np.array_equal(hr, hr3)
+
+
+def test_loader_host_crop_noop_when_small(dataset):
+    idx = PairedIndex(str(dataset), "train", "X2")
+    loader = Loader(idx, 2, host_crop_hr=128, host_crop_scale=2)
+    lr, hr = next(iter(loader))
+    assert hr.shape == (2, 64, 64, 1)  # image smaller than crop -> untouched
+
+
+def test_loader_host_crop_alignment():
+    """With an exactly-decimated LR, host crops must stay pixel-aligned."""
+    import tempfile
+    from PIL import Image
+
+    tmp = tempfile.mkdtemp()
+    rng_ = np.random.default_rng(3)
+    hr_dir = Path(tmp) / "shuffled2D" / "shuffled2D_train_HR"
+    lr_dir = Path(tmp) / "shuffled2D" / "shuffled2D_train_LR_default_X2"
+    hr_dir.mkdir(parents=True); lr_dir.mkdir(parents=True)
+    for i in range(3):
+        hr_img = (rng_.random((40, 40)) * 255).astype(np.uint8)
+        Image.fromarray(hr_img, "L").save(hr_dir / f"i{i}.png")
+        Image.fromarray(hr_img[::2, ::2], "L").save(lr_dir / f"i{i}x2.png")
+    idx = PairedIndex(tmp, "train", "X2")
+    loader = Loader(idx, 3, host_crop_hr=16, host_crop_scale=2, use_native="never")
+    lr, hr = next(iter(loader))
+    np.testing.assert_array_equal(lr[..., 0], hr[:, ::2, ::2, 0])

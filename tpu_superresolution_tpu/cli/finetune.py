@@ -82,7 +82,9 @@ def main(argv=None):
     idx_va = PairedIndex(args.data_root, "valid", args.scale)
     workers = resolve_workers(args.workers)
     train_loader = Loader(idx_tr, args.batch_size, shuffle=True, drop_last=True,
-                          grayscale=False, channels=3, seed=args.seed, num_threads=workers)
+                          grayscale=False, channels=3, seed=args.seed, num_threads=workers,
+                          host_crop_hr=args.lr_patch * scale_int,
+                          host_crop_scale=scale_int)
     valid_loader = Loader(idx_va, max(1, args.batch_size // 2),
                           grayscale=False, channels=3, num_threads=workers)
 

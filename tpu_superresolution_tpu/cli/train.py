@@ -116,9 +116,18 @@ def main(argv=None):
     idx_tr = PairedIndex(args.data_root, "train", args.scale)
     idx_va = PairedIndex(args.data_root, "valid", args.scale)
     workers = resolve_workers(args.workers)
+    scale_int = int(args.scale[1:])
+    # host-side aligned crops minimize host->device transfer (patches
+    # upload instead of full images); the on-device crop then no-ops
+    host_crop = (
+        args.patch_size
+        if convention == "pre_upscale"
+        else args.patch_size * scale_int
+    )
     train_loader = Loader(
         idx_tr, args.batch_size, shuffle=True, seed=args.seed,
         grayscale=dcfg.grayscale, channels=channels, num_threads=workers,
+        host_crop_hr=host_crop, host_crop_scale=scale_int,
     )
     valid_loader = Loader(
         idx_va, max(1, args.batch_size // 2),

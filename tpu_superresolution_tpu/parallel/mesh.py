@@ -17,6 +17,32 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Initialize the JAX distributed runtime for multi-host slices
+    (SURVEY.md §2.4: the framework's 'communication backend' is the mesh
+    + XLA collectives; multi-host discovery goes through
+    jax.distributed.initialize — ICI within a slice, DCN across).
+
+    No-ops on single-process setups (already-initialized or standalone).
+    Returns the global device count.
+    """
+    import jax
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        pass  # single process, or already initialized
+    return len(jax.devices())
+
+
 def make_mesh(
     dp: Optional[int] = None,
     axis_name: str = "dp",
