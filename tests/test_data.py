@@ -179,3 +179,23 @@ def test_loader_host_crop_alignment():
     loader = Loader(idx, 3, host_crop_hr=16, host_crop_scale=2, use_native="never")
     lr, hr = next(iter(loader))
     np.testing.assert_array_equal(lr[..., 0], hr[:, ::2, ::2, 0])
+
+
+def test_loader_decode_cache(dataset):
+    idx = PairedIndex(str(dataset), "train", "X2")
+    loader = Loader(idx, 3, cache_decoded=True, use_native="never")
+    b1 = [(lr.copy(), hr.copy()) for lr, hr in loader]
+    assert loader._cache_bytes > 0 and len(loader._cache) == 6
+    b2 = list(loader)  # second epoch from cache
+    for (lr1, hr1), (lr2, hr2) in zip(b1, b2):
+        # uint16 round-trip: tolerance 1/65535
+        np.testing.assert_allclose(lr1, lr2, atol=1.1 / 65535)
+        np.testing.assert_allclose(hr1, hr2, atol=1.1 / 65535)
+
+
+def test_loader_cache_limit(dataset):
+    idx = PairedIndex(str(dataset), "train", "X2")
+    loader = Loader(idx, 3, cache_decoded=True, cache_limit_gb=1e-6, use_native="never")
+    b = list(loader)  # nothing fits; must still yield correct shapes
+    assert b[0][1].shape == (3, 64, 64, 1)
+    assert len(loader._cache) == 0

@@ -64,6 +64,9 @@ def build_argparser():
     # --base_channels — common_commands.txt:5-6)
     ap.add_argument("--base_channels", type=int, default=64)
     ap.add_argument("--depth", type=int, default=4)
+    ap.add_argument("--cache_decoded", action="store_true",
+                    help="cache decoded images in host RAM (epochs 2+ skip decode)")
+    ap.add_argument("--cache_limit_gb", type=float, default=8.0)
     return ap
 
 
@@ -128,6 +131,7 @@ def main(argv=None):
         idx_tr, args.batch_size, shuffle=True, seed=args.seed,
         grayscale=dcfg.grayscale, channels=channels, num_threads=workers,
         host_crop_hr=host_crop, host_crop_scale=scale_int,
+        cache_decoded=args.cache_decoded, cache_limit_gb=args.cache_limit_gb,
     )
     valid_loader = Loader(
         idx_va, max(1, args.batch_size // 2),

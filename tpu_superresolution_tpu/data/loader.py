@@ -34,6 +34,8 @@ class Loader:
         use_native: str = "auto",  # "auto" | "never" | "always"
         host_crop_hr: Optional[int] = None,
         host_crop_scale: int = 1,
+        cache_decoded: bool = False,
+        cache_limit_gb: float = 4.0,
     ):
         """`host_crop_hr`: crop random scale-aligned patches on the HOST
         (HR patch of this size; LR patch of size/scale at offset/scale)
@@ -53,6 +55,13 @@ class Loader:
         self._epoch = 0
         self.host_crop_hr = host_crop_hr
         self.host_crop_scale = max(1, host_crop_scale)
+        # decoded-image cache (uint16 to preserve 16-bit sources): decode
+        # is the host bottleneck once transfers are crop-sized; epochs
+        # after the first replay from RAM.
+        self.cache_decoded = cache_decoded
+        self._cache: dict = {}
+        self._cache_bytes = 0
+        self._cache_limit = int(cache_limit_gb * (1 << 30))
         self._native_sizes = None  # ((lr_h, lr_w), (hr_h, hr_w)) when active
         if use_native != "never":
             self._try_enable_native(require=use_native == "always")
@@ -96,28 +105,50 @@ class Loader:
         hh, hw, _, _ = native_decode.probe(hr0)
         self._native_sizes = ((lh, lw), (hh, hw))
 
+    def _load_pairs(self, pairs):
+        """Decode a list of (lr_path, hr_path) via the native C++ path
+        when enabled, else PIL."""
+        if self._native_sizes is not None:
+            from tpu_superresolution_tpu.data import native_decode
+
+            (lh, lw), (hh, hw) = self._native_sizes
+            try:
+                lr = native_decode.decode_batch_native(
+                    [p[0] for p in pairs], lh, lw, self.grayscale, self.channels
+                )
+                hr = native_decode.decode_batch_native(
+                    [p[1] for p in pairs], hh, hw, self.grayscale, self.channels
+                )
+                return lr, hr
+            except IOError:
+                pass  # size mismatch / odd file: PIL fallback
+        return load_pair_batch(pairs, self.grayscale, self.channels)
+
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         batches = self._batch_indices()
         epoch = self._epoch
         self._epoch += 1
 
         def load(idxs):
-            pairs = [self.index[i] for i in idxs]
-            if self._native_sizes is not None:
-                from tpu_superresolution_tpu.data import native_decode
-
-                (lh, lw), (hh, hw) = self._native_sizes
-                try:
-                    lr = native_decode.decode_batch_native(
-                        [p[0] for p in pairs], lh, lw, self.grayscale, self.channels
-                    )
-                    hr = native_decode.decode_batch_native(
-                        [p[1] for p in pairs], hh, hw, self.grayscale, self.channels
-                    )
+            if self.cache_decoded:
+                missing = [i for i in idxs if i not in self._cache]
+                if missing:
+                    lr_m, hr_m = self._load_pairs([self.index[i] for i in missing])
+                    for j, i in enumerate(missing):
+                        entry = (
+                            (lr_m[j] * 65535.0 + 0.5).astype(np.uint16),
+                            (hr_m[j] * 65535.0 + 0.5).astype(np.uint16),
+                        )
+                        sz = entry[0].nbytes + entry[1].nbytes
+                        if self._cache_bytes + sz <= self._cache_limit:
+                            self._cache[i] = entry
+                            self._cache_bytes += sz
+                if all(i in self._cache for i in idxs):
+                    lr = np.stack([self._cache[i][0] for i in idxs]).astype(np.float32) / 65535.0
+                    hr = np.stack([self._cache[i][1] for i in idxs]).astype(np.float32) / 65535.0
                     return lr, hr
-                except IOError:
-                    pass  # size mismatch / odd file: PIL fallback below
-            return load_pair_batch(pairs, self.grayscale, self.channels)
+                # cache over limit: direct decode
+            return self._load_pairs([self.index[i] for i in idxs])
 
         def crop(batch, batch_seed):
             lr, hr = batch
