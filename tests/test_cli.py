@@ -64,3 +64,34 @@ def test_train_cli_resume_finetune(dataset, tmp_path, capsys):
     ])
     out = capsys.readouterr().out
     assert "[ckpt] loaded model weights" in out
+
+
+def test_evaluate_cli_sharded_dp(dataset, tmp_path, capsys):
+    """evaluate CLI --dp 8 --tile: sharded tiled inference matches the
+    single-device result on the virtual mesh."""
+    import jax
+
+    assert len(jax.devices()) == 8
+    from tpu_superresolution_tpu.cli.train import main as train_main
+    from tpu_superresolution_tpu.cli.evaluate import main as eval_main
+
+    train_main([
+        "--data_root", str(dataset), "--scale", "X2",
+        "--model", "unet2d", "--base_channels", "4", "--depth", "1",
+        "--epochs", "1", "--batch_size", "4", "--patch_size", "32",
+        "--workdir", str(tmp_path),
+    ])
+    capsys.readouterr()
+    r1 = eval_main([
+        "--data_root", str(dataset), "--scale", "X2",
+        "--ckpt", str(tmp_path / "best_X2"), "--save_n", "0",
+        "--tile", "32", "--tile_overlap", "8", "--no_baseline",
+    ])
+    r8 = eval_main([
+        "--data_root", str(dataset), "--scale", "X2",
+        "--ckpt", str(tmp_path / "best_X2"), "--save_n", "0",
+        "--tile", "32", "--tile_overlap", "8", "--no_baseline", "--dp", "8",
+    ])
+    out = capsys.readouterr().out
+    assert "[dp] sharded tiled inference over 8 devices" in out
+    assert abs(r1["psnr"] - r8["psnr"]) < 1e-3

@@ -39,6 +39,9 @@ def build_argparser():
                     help="tile size for tiled inference (0 = whole image)")
     ap.add_argument("--tile_overlap", type=int, default=16)
     ap.add_argument("--no_baseline", action="store_true")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="shard the tile batch across N mesh devices "
+                         "(requires --tile)")
     return ap
 
 
@@ -86,7 +89,15 @@ def main(argv=None):
         save_indices=save_indices,
         rescale_png=args.rescale_png,
     )
-    ev = Evaluator(model, variables, scale_int, convention, ecfg)
+    mesh = None
+    if args.dp and args.dp > 1:
+        if not args.tile:
+            raise SystemExit("--dp requires --tile (sharded tiled inference)")
+        from tpu_superresolution_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.dp)
+        print(f"[dp] sharded tiled inference over {args.dp} devices")
+    ev = Evaluator(model, variables, scale_int, convention, ecfg, mesh=mesh)
     results = ev.run(loader, save_dir=args.save_dir if (args.save_n or args.save_every or save_indices) else None)
     print(f"[result] PSNR {results['psnr']:.2f} dB | SSIM {results['ssim']:.4f} | "
           f"{results['mpix_per_s']:.1f} MPix/s")

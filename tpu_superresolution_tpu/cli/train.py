@@ -64,6 +64,9 @@ def build_argparser():
     # --base_channels — common_commands.txt:5-6)
     ap.add_argument("--base_channels", type=int, default=64)
     ap.add_argument("--depth", type=int, default=4)
+    ap.add_argument("--residual", action="store_true",
+                    help="unet2d residual head: predict a correction to the "
+                         "(pre-upscaled) input — starts at the bicubic floor")
     ap.add_argument("--cache_decoded", action="store_true",
                     help="cache decoded images in host RAM (epochs 2+ skip decode)")
     ap.add_argument("--cache_limit_gb", type=float, default=8.0)
@@ -84,6 +87,7 @@ def main(argv=None):
             scale=int(args.scale[1:]),
             base_channels=args.base_channels,
             depth=args.depth,
+            residual=args.residual,
         )
     else:
         cfg_cls, _ = model_registry[model_name]

@@ -64,6 +64,7 @@ class Evaluator:
     convention: str = "pre_upscale"  # model input convention
     eval_config: EvalConfig = field(default_factory=EvalConfig)
     log: Callable[[str], None] = print
+    mesh: object = None  # jax Mesh: shard the tile batch across chips
 
     def _forward_fn(self):
         ecfg = self.eval_config
@@ -78,7 +79,18 @@ class Evaluator:
             if self.convention == "pre_upscale":
                 lr = pre_upscale_batch(lr, self.scale)
             if ecfg.tile_size:
-                out = tiled_forward(tile_apply, lr, s, ecfg.tile_size, ecfg.tile_overlap)
+                if self.mesh is not None:
+                    from tpu_superresolution_tpu.evaluate.tiling import (
+                        sharded_tiled_forward,
+                    )
+
+                    out = sharded_tiled_forward(
+                        tile_apply, lr, s, ecfg.tile_size, ecfg.tile_overlap, self.mesh
+                    )
+                else:
+                    out = tiled_forward(
+                        tile_apply, lr, s, ecfg.tile_size, ecfg.tile_overlap
+                    )
             else:
                 out = tile_apply(lr)
             return out.astype(jnp.float32)
