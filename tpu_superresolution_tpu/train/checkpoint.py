@@ -15,6 +15,7 @@ from pathlib import Path
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -81,9 +82,39 @@ def load_checkpoint(path: str, target_state=None):
 
 def load_weights_only(path: str):
     """Finetune-mode restore: params (+batch_stats) only, optimizer
-    fresh (reference --finetune, train.py:283-301)."""
+    fresh (reference --finetune, train.py:283-301).
+
+    When the checkpoint's meta carries a model config, an abstract
+    target tree is built via jax.eval_shape so Orbax restores against a
+    verified structure (no target-less UNSAFE path)."""
     tree, meta = load_checkpoint(path)
-    return {"params": tree["params"], "batch_stats": tree.get("batch_stats", {})}, meta
+    restored = {
+        "params": tree["params"],
+        "batch_stats": tree.get("batch_stats", {}),
+    }
+    cfg = model_config_from_checkpoint(path)
+    if cfg is not None:
+        # Validate the restored structure against the config's abstract
+        # init (jax.eval_shape: no compute) — a wrong-architecture
+        # checkpoint fails HERE with a clear message instead of deep
+        # inside apply().
+        from tpu_superresolution_tpu.core.config import build_model
+
+        model = build_model(cfg)
+        x = jnp.zeros((1, 64, 64, cfg.in_channels), jnp.float32)
+        abstract = jax.eval_shape(
+            lambda: model.init(jax.random.key(0), x, train=False)
+        )
+        import jax.tree_util as jtu
+
+        if jtu.tree_structure(abstract["params"]) != jtu.tree_structure(
+            restored["params"]
+        ):
+            raise ValueError(
+                f"checkpoint params structure does not match model config "
+                f"'{cfg.name}' at {path}"
+            )
+    return restored, meta
 
 
 def model_config_from_checkpoint(path: str) -> Optional[ModelConfig]:
