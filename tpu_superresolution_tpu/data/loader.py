@@ -8,8 +8,6 @@ queue.  Shuffling is seeded per epoch for reproducibility.
 
 from __future__ import annotations
 
-import queue
-import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional, Tuple
 

@@ -188,16 +188,6 @@ def make_eval_step(model, loss_name: str, convention: str, scale: int):
 
 
 @dataclass
-class EpochStats:
-    train_loss: float = 0.0
-    val_loss: float = 0.0
-    val_psnr: float = 0.0
-    val_ssim: float = 0.0
-    data_time: float = 0.0
-    step_time: float = 0.0
-
-
-@dataclass
 class Trainer:
     """Full training orchestration: epochs, validation, best-checkpoint
     tracking (dual best by val-loss AND val-PSNR, finetune_swinir.py:
