@@ -210,3 +210,22 @@ def test_sharded_tiled_model(rng):
     np.testing.assert_allclose(
         np.asarray(run_sharded(x)), np.asarray(run_single(x)), atol=1e-5
     )
+
+
+@pytest.mark.parametrize("mtb", [1, 3, 7, 100])
+def test_tiled_forward_chunked_matches_unchunked(mtb, rng):
+    """max_tile_batch (HBM-bounding chunked tile processing) must be
+    numerically identical to the single-batch path for any chunk size,
+    including ragged last chunks and mtb > n_tiles."""
+    fn = _shift_invariant_fn(2)
+    x = jnp.asarray(rng.random((2, 50, 70, 1), dtype=np.float32))
+    full = tiled_forward(fn, x, 2, tile=32, overlap=8)
+    chunked = tiled_forward(fn, x, 2, tile=32, overlap=8, max_tile_batch=mtb)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full), atol=1e-6)
+
+
+def test_tiled_forward_chunked_under_jit(rng):
+    fn = _shift_invariant_fn(2)
+    run = jax.jit(lambda x: tiled_forward(fn, x, 2, 32, 8, max_tile_batch=3))
+    x = jnp.asarray(rng.random((1, 48, 48, 1), dtype=np.float32))
+    np.testing.assert_allclose(np.asarray(run(x)), np.asarray(fn(x)), atol=1e-6)

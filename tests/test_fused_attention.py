@@ -1,0 +1,146 @@
+"""Parity tests for the fully-fused window-attention kernel
+(ops/pallas/fused_attention.py) against its jnp reference, run in
+Pallas interpret mode on the CPU test mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_superresolution_tpu.ops.pallas.fused_attention import (
+    _pick_pack,
+    _reference_impl,
+    fused_window_block_attention,
+)
+
+
+def _inputs(rng, bw=8, n=16, c=24, nh=3, with_mask=True, nwm=4):
+    x = jnp.asarray(rng.standard_normal((bw, n, c)).astype(np.float32))
+    wqkv = jnp.asarray(rng.standard_normal((c, 3 * c)).astype(np.float32) * 0.1)
+    bqkv = jnp.asarray(rng.standard_normal((3 * c,)).astype(np.float32) * 0.1)
+    wproj = jnp.asarray(rng.standard_normal((c, c)).astype(np.float32) * 0.1)
+    bproj = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.standard_normal((nh, n, n)).astype(np.float32))
+    mask = None
+    if with_mask:
+        mask = np.where(
+            rng.random((nwm, n, n)) > 0.7, -100.0, 0.0
+        ).astype(np.float32)
+    scale = (c // nh) ** -0.5
+    return x, wqkv, bqkv, wproj, bproj, bias, mask, scale
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+@pytest.mark.parametrize("bw,nwm", [(8, 4), (6, 3), (16, 4)])
+def test_fused_matches_reference(rng, with_mask, bw, nwm):
+    args = _inputs(rng, bw=bw, nwm=nwm, with_mask=with_mask)
+    ref = _reference_impl(*args)
+    out = fused_window_block_attention(*args, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_fused_no_bias_qkv(rng):
+    x, wqkv, _, wproj, bproj, bias, mask, scale = _inputs(rng)
+    ref = _reference_impl(x, wqkv, None, wproj, bproj, bias, mask, scale)
+    out = fused_window_block_attention(
+        x, wqkv, None, wproj, bproj, bias, mask, scale, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_fused_bf16_close(rng):
+    """bf16 inputs take the production path (bf16 MXU, fp32 accum)."""
+    x, wqkv, bqkv, wproj, bproj, bias, mask, scale = _inputs(rng)
+    ref = _reference_impl(
+        x.astype(jnp.bfloat16), wqkv, bqkv, wproj, bproj, bias, mask, scale
+    ).astype(jnp.float32)
+    out = fused_window_block_attention(
+        x.astype(jnp.bfloat16), wqkv, bqkv, wproj, bproj, bias, mask, scale,
+        interpret=True,
+    ).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.15)
+
+
+def test_fused_gradients_match_reference(rng):
+    """custom_vjp backward == grads of the jnp reference."""
+    x, wqkv, bqkv, wproj, bproj, bias, mask, scale = _inputs(rng)
+
+    def loss_fused(x, wq, bq, wp, bp, bi):
+        out = fused_window_block_attention(
+            x, wq, bq, wp, bp, bi, mask, scale, interpret=True
+        )
+        return jnp.sum(out ** 2)
+
+    def loss_ref(x, wq, bq, wp, bp, bi):
+        return jnp.sum(_reference_impl(x, wq, bq, wp, bp, bi, mask, scale) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4, 5))(
+        x, wqkv, bqkv, wproj, bproj, bias
+    )
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(
+        x, wqkv, bqkv, wproj, bproj, bias
+    )
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4
+        )
+
+
+def test_pick_pack():
+    assert _pick_pack(64, 16, 64) == 4
+    assert _pick_pack(64, None, 64) == 4
+    assert _pick_pack(6, 3, 16) == 1
+    assert _pick_pack(6, None, 16) == 2
+    assert _pick_pack(8, 4, 256) == 2  # 4*256 > 512
+    assert _pick_pack(8, 4, 600) == 1
+
+
+def test_swinir_fused_impl_matches_jnp(rng):
+    """Full SwinIR forward: attention_impl='fused' (interpret mode on
+    CPU) must match the jnp einsum path — shifted masks included."""
+    from tpu_superresolution_tpu.core.config import SwinIRConfig, build_model
+
+    def cfg(impl):
+        return SwinIRConfig(
+            scale=2, img_size=16, window_size=4, embed_dim=12, depths=(2, 2),
+            num_heads=(2, 2), upsampler="pixelshuffledirect",
+            attention_impl=impl,
+        )
+
+    x = jnp.asarray(rng.random((1, 20, 16, 3), dtype=np.float32))
+    m1 = build_model(cfg("jnp"))
+    m2 = build_model(cfg("fused"))
+    v = m1.init(jax.random.key(0), x, train=False)
+    y1 = m1.apply(v, x, train=False)
+    y2 = m2.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=3e-5)
+
+
+def test_swinir_fused_impl_grads(rng):
+    """Gradients flow through the fused path (custom_vjp) and match the
+    jnp path."""
+    from tpu_superresolution_tpu.core.config import SwinIRConfig, build_model
+
+    def cfg(impl):
+        return SwinIRConfig(
+            scale=2, img_size=16, window_size=4, embed_dim=12, depths=(2,),
+            num_heads=(2,), upsampler="pixelshuffledirect",
+            attention_impl=impl,
+        )
+
+    x = jnp.asarray(rng.random((1, 16, 16, 3), dtype=np.float32))
+    m1 = build_model(cfg("jnp"))
+    m2 = build_model(cfg("fused"))
+    v = m1.init(jax.random.key(0), x, train=False)
+
+    def loss(model):
+        return lambda p: jnp.mean(model.apply({"params": p}, x, train=False) ** 2)
+
+    g1 = jax.grad(loss(m1))(v["params"])
+    g2 = jax.grad(loss(m2))(v["params"])
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

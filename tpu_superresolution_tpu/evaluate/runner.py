@@ -89,7 +89,8 @@ class Evaluator:
                     )
                 else:
                     out = tiled_forward(
-                        tile_apply, lr, s, ecfg.tile_size, ecfg.tile_overlap
+                        tile_apply, lr, s, ecfg.tile_size, ecfg.tile_overlap,
+                        max_tile_batch=ecfg.max_tile_batch,
                     )
             else:
                 out = tile_apply(lr)

@@ -22,7 +22,7 @@ inputs) tile in HR space with s=1.
 from __future__ import annotations
 
 import functools
-from typing import Callable, List, Tuple
+from typing import Callable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -54,11 +54,20 @@ def tiled_forward(
     scale: int,
     tile: int,
     overlap: int,
+    max_tile_batch: Optional[int] = None,
 ) -> jnp.ndarray:
     """apply_fn: [N, t, t, C] -> [N, t*s, t*s, C] batched tile forward.
     x: [B, H, W, C] inputs.  Returns [B, H*s, W*s, C].
 
     Call under jit (shapes static); compiles once per (H, W, grid).
+
+    `max_tile_batch` bounds peak HBM at production whole-image sizes
+    (the reference evaluates 500x500 whole images —
+    modules/evaluate.py:165-195; a 2048^2 LR at tile 64 is ~1369 tiles,
+    which as ONE batch would blow a chip's HBM): the tile batch is
+    processed in fixed-size chunks, every chunk the same static shape
+    (last chunk padded by wrapping), so the model subgraph compiles once
+    and XLA frees/reuses chunk buffers sequentially.
     """
     b, h, w, c = x.shape
     ys = tile_grid(h, tile, overlap)
@@ -75,7 +84,18 @@ def tiled_forward(
             tiles.append(x[:, y0 : y0 + t, x0 : x0 + t, :])
     batch = jnp.concatenate(tiles, axis=0)  # [nT*B, t, t, C]
 
-    out_tiles = apply_fn(batch)  # [nT*B, t*s, t*s, C]
+    n_total = batch.shape[0]
+    if max_tile_batch is not None and 0 < max_tile_batch < n_total:
+        mtb = max_tile_batch
+        pad = (-n_total) % mtb
+        if pad:
+            batch = jnp.concatenate([batch, batch[:pad]], axis=0)
+        chunks = [
+            apply_fn(batch[i : i + mtb]) for i in range(0, batch.shape[0], mtb)
+        ]
+        out_tiles = jnp.concatenate(chunks, axis=0)[:n_total]
+    else:
+        out_tiles = apply_fn(batch)  # [nT*B, t*s, t*s, C]
     ts = t * scale
 
     # ---- scatter-add with uniform blend weights ----

@@ -85,6 +85,32 @@ class ConvTranspose2dTorch(nn.Module):
         return y
 
 
+class DenseParams(nn.Module):
+    """Declares nn.Dense-compatible {kernel, bias} params and returns
+    them raw — used where a fused Pallas kernel consumes the projection
+    weights directly while keeping the checkpoint tree identical to
+    nn.Dense (interop/torch_convert mappings unchanged)."""
+
+    features: int
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    use_bias: bool = True
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", self.kernel_init, (in_features, self.features),
+            self.param_dtype,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,),
+                       self.param_dtype)
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
 class Mlp(nn.Module):
     """2-layer GELU MLP (reference network_swinir.py:14-30).
 

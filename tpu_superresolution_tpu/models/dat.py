@@ -37,6 +37,7 @@ from tpu_superresolution_tpu.core.config import DATConfig, register_model
 from tpu_superresolution_tpu.models.blocks import (
     PixelShuffleDirect,
     PixelShuffleUpsample,
+    drop_path,
 )
 from tpu_superresolution_tpu.ops.window import (
     rect_shift_attn_mask,
@@ -322,6 +323,7 @@ class DATB(nn.Module):
     qkv_bias: bool
     rg_idx: int
     b_idx: int
+    drop_path_rate: float = 0.0
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -330,6 +332,8 @@ class DATB(nn.Module):
         do_shift = (i % 2 == 0 and j > 0 and (j - 2) % 4 == 0) or (
             i % 2 != 0 and j % 4 == 0
         )
+        # stochastic depth on both residuals (dat_arch.py:562-563)
+        use_dp = train and self.drop_path_rate > 0
         y = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm1")(x)
         if j % 2 == 0:
             y = AdaptiveSpatialAttention(
@@ -340,11 +344,13 @@ class DATB(nn.Module):
             y = AdaptiveChannelAttention(
                 self.dim, self.num_heads, self.qkv_bias, self.dtype, name="attn"
             )(y, train)
-        x = x + y
+        rng = self.make_rng("drop_path") if use_dp else None
+        x = x + drop_path(y, self.drop_path_rate, rng is None, rng)
         y = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm2")(x)
         y = SGFN(int(self.dim * self.expansion_factor), self.dim, self.dtype,
                  name="ffn")(y)
-        return x + y
+        rng2 = self.make_rng("drop_path") if use_dp else None
+        return x + drop_path(y, self.drop_path_rate, rng2 is None, rng2)
 
 
 class ResidualGroup(nn.Module):
@@ -357,6 +363,7 @@ class ResidualGroup(nn.Module):
     expansion_factor: float
     qkv_bias: bool
     rg_idx: int
+    drop_path_rates: Tuple[float, ...] = ()
     resi_connection: str = "1conv"
     use_remat: bool = False
     dtype: Dtype = jnp.float32
@@ -369,6 +376,7 @@ class ResidualGroup(nn.Module):
             x = blk_cls(
                 self.dim, self.num_heads, self.split_size,
                 self.expansion_factor, self.qkv_bias, self.rg_idx, j,
+                self.drop_path_rates[j] if self.drop_path_rates else 0.0,
                 self.dtype, name=f"blocks_{j}",
             )(x, train)
         if self.resi_connection == "1conv":
@@ -404,13 +412,18 @@ class DAT(nn.Module):
 
         # before_RG: LayerNorm on channels (dat_arch.py:765-768)
         feats = nn.LayerNorm(epsilon=_LN_EPS, dtype=dt, name="before_RG_norm")(x)
+        # stochastic depth decay rule (dat_arch.py:771)
+        dpr = [float(r) for r in np.linspace(0, cfg.drop_path_rate, sum(cfg.depths))]
+        start = 0
         for i, depth in enumerate(cfg.depths):
             feats = ResidualGroup(
                 cfg.embed_dim, depth, cfg.num_heads[i], cfg.split_size,
                 cfg.expansion_factor, cfg.qkv_bias, i,
+                tuple(dpr[start : start + depth]),
                 cfg.resi_connection, cfg.use_remat, dt,
                 name=f"layers_{i}",
             )(feats, train)
+            start += depth
         feats = nn.LayerNorm(epsilon=_LN_EPS, dtype=dt, name="norm")(feats)
         if cfg.resi_connection == "1conv":
             feats = nn.Conv(cfg.embed_dim, (3, 3), padding=((1, 1), (1, 1)),

@@ -36,6 +36,7 @@ from tpu_superresolution_tpu.models.blocks import (
     Mlp,
     PixelShuffleUpsample,
     check_image_size,
+    drop_path,
 )
 from tpu_superresolution_tpu.ops.window import (
     cyclic_shift,
@@ -145,11 +146,12 @@ class HAB(nn.Module):
     conv_scale: float
     mlp_ratio: float
     qkv_bias: bool
+    drop_path_rate: float = 0.0
     attn_impl: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
         b, h, w, c = x.shape
         ws, shift = self.window_size, self.shift_size
         if min(h, w) <= ws:
@@ -170,10 +172,16 @@ class HAB(nn.Module):
         attn_x = window_reverse(xw.reshape(-1, ws * ws, c), ws, h, w)
         attn_x = cyclic_unshift(attn_x, shift)
 
+        # Stochastic depth on the attention residual only — the conv
+        # branch is NOT dropped (reference hat_arch.py:307-308).
+        use_dp = not deterministic and self.drop_path_rate > 0
+        rng = self.make_rng("drop_path") if use_dp else None
+        attn_x = drop_path(attn_x, self.drop_path_rate, rng is None, rng)
         x = shortcut + attn_x + conv_x * jnp.asarray(self.conv_scale, x.dtype)
         y = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm2")(x)
         y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype, name="mlp")(y)
-        return x + y
+        rng2 = self.make_rng("drop_path") if use_dp else None
+        return x + drop_path(y, self.drop_path_rate, rng2 is None, rng2)
 
 
 def _overlap_windows(x: jnp.ndarray, ws: int, ows: int) -> jnp.ndarray:
@@ -276,23 +284,26 @@ class RHAG(nn.Module):
     overlap_ratio: float
     mlp_ratio: float
     qkv_bias: bool
+    drop_path_rates: Tuple[float, ...] = ()
     resi_connection: str = "1conv"
     use_remat: bool = False
     attn_impl: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
         res = x
-        hab_cls = nn.remat(HAB) if self.use_remat else HAB
+        hab_cls = nn.remat(HAB, static_argnums=(2,)) if self.use_remat else HAB
         for j in range(self.depth):
             x = hab_cls(
                 self.dim, self.num_heads, self.window_size,
                 0 if j % 2 == 0 else self.window_size // 2,
                 self.compress_ratio, self.squeeze_factor, self.conv_scale,
-                self.mlp_ratio, self.qkv_bias, self.attn_impl, self.dtype,
+                self.mlp_ratio, self.qkv_bias,
+                self.drop_path_rates[j] if self.drop_path_rates else 0.0,
+                self.attn_impl, self.dtype,
                 name=f"blocks_{j}",
-            )(x)
+            )(x, deterministic)
         x = OCAB(self.dim, self.window_size, self.overlap_ratio,
                  self.num_heads, self.qkv_bias, self.mlp_ratio,
                  self.attn_impl, self.dtype, name="overlap_attn")(x)
@@ -325,16 +336,21 @@ class HAT(nn.Module):
                     dtype=dt, name="conv_first")(x)
 
         feats = x
-        if True:  # patch_norm default (hat_arch.py:758)
+        if cfg.patch_norm:  # hat_arch.py:758 default
             feats = nn.LayerNorm(epsilon=_LN_EPS, dtype=dt, name="patch_norm")(feats)
+        # stochastic depth decay rule (hat_arch.py:827)
+        dpr = [float(r) for r in np.linspace(0, cfg.drop_path_rate, sum(cfg.depths))]
+        start = 0
         for i, depth in enumerate(cfg.depths):
             feats = RHAG(
                 cfg.embed_dim, depth, cfg.num_heads[i], cfg.window_size,
                 cfg.compress_ratio, cfg.squeeze_factor, cfg.conv_scale,
                 cfg.overlap_ratio, cfg.mlp_ratio, cfg.qkv_bias,
+                tuple(dpr[start : start + depth]),
                 cfg.resi_connection, cfg.use_remat, cfg.attention_impl, dt,
                 name=f"layers_{i}",
-            )(feats)
+            )(feats, deterministic=not train)
+            start += depth
         feats = nn.LayerNorm(epsilon=_LN_EPS, dtype=dt, name="norm")(feats)
         if cfg.resi_connection == "1conv":
             feats = nn.Conv(cfg.embed_dim, (3, 3), padding=((1, 1), (1, 1)),

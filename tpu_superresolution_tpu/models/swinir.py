@@ -36,6 +36,7 @@ import numpy as np
 
 from tpu_superresolution_tpu.core.config import SwinIRConfig, register_model
 from tpu_superresolution_tpu.models.blocks import (
+    DenseParams,
     Mlp,
     PixelShuffleDirect,
     PixelShuffleUpsample,
@@ -61,23 +62,30 @@ class WindowAttention(nn.Module):
     """W-MSA with learned relative position bias
     (reference network_swinir.py:65-145).
 
-    Two interchangeable attention paths: the pure-jnp einsum path (used
-    on CPU / for parity tests) and the fused Pallas kernel
-    (ops/pallas/window_attention.py) which keeps QK^T+bias+mask+softmax
-    in VMEM — the jnp path's bias add makes XLA materialize the
-    [B*nW, nH, N, N] attention tensor in HBM.
+    Three interchangeable paths sharing one parameter tree (explicit
+    {kernel, bias} params identical to nn.Dense's):
+    - "fused" (TPU production): ONE Pallas kernel runs qkv projection +
+      bias/mask attention + output projection in VMEM
+      (ops/pallas/fused_attention.py) — the jnp path's bias/mask adds
+      make XLA materialize the [B*nW, nH, N, N] attention tensor in a
+      30-lane-padded HBM layout.
+    - "jnp": batched einsums (CPU / parity oracle).
+    - "pallas": the round-1 window-packing kernel (kept selectable).
     """
 
     dim: int
     window_size: int
     num_heads: int
     qkv_bias: bool = True
-    attn_impl: str = "auto"  # "auto" | "jnp" | "pallas"
+    attn_impl: str = "auto"  # "auto" | "jnp" | "pallas" | "fused"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask: Optional[np.ndarray] = None):
         """x: [B, nW, N, C]; mask: [nW, N, N] numpy constant or None."""
+        from tpu_superresolution_tpu.ops.pallas.fused_attention import (
+            fused_window_block_attention,
+        )
         from tpu_superresolution_tpu.ops.pallas.window_attention import (
             fused_window_attention,
             resolve_attention_impl,
@@ -88,16 +96,12 @@ class WindowAttention(nn.Module):
         nh = self.num_heads
         hd = c // nh
         scale = hd**-0.5
+        dt = self.dtype
 
-        qkv = nn.Dense(
-            3 * c,
-            use_bias=self.qkv_bias,
-            kernel_init=_TRUNC02,
-            dtype=self.dtype,
-            name="qkv",
-        )(x)
-        qkv = qkv.reshape(b, nw, n, 3, nh, hd)
-        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+        wqkv, bqkv = DenseParams(
+            3 * c, kernel_init=_TRUNC02, use_bias=self.qkv_bias, name="qkv"
+        )(c)
+        wproj, bproj = DenseParams(c, kernel_init=_TRUNC02, name="proj")(c)
 
         table = self.param(
             "relative_position_bias_table",
@@ -107,7 +111,22 @@ class WindowAttention(nn.Module):
         rpi = relative_position_index(ws)  # numpy [N, N]
         bias = table[rpi.reshape(-1)].reshape(n, n, nh).transpose(2, 0, 1)
 
-        if resolve_attention_impl(self.attn_impl) == "pallas":
+        impl = resolve_attention_impl(self.attn_impl)
+        if impl == "fused":
+            out = fused_window_block_attention(
+                x.astype(dt).reshape(b * nw, n, c),
+                wqkv, bqkv, wproj, bproj,
+                bias.astype(jnp.float32), mask, scale,
+            )
+            return out.reshape(b, nw, n, c)
+
+        qkv = x.astype(dt) @ wqkv.astype(dt)
+        if bqkv is not None:
+            qkv = qkv + bqkv.astype(dt)
+        qkv = qkv.reshape(b, nw, n, 3, nh, hd)
+        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+
+        if impl == "pallas":
             to_kernel = lambda t: t.reshape(b * nw, n, nh, hd).transpose(0, 2, 1, 3)
             m = jnp.asarray(mask) if mask is not None else None
             out = fused_window_attention(
@@ -124,7 +143,7 @@ class WindowAttention(nn.Module):
             attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
             out = jnp.einsum("bwhqk,bwkhd->bwqhd", attn, v)
             out = out.reshape(b, nw, n, c)
-        out = nn.Dense(c, kernel_init=_TRUNC02, dtype=self.dtype, name="proj")(out)
+        out = out @ wproj.astype(dt) + bproj.astype(dt)
         return out
 
 
@@ -275,10 +294,11 @@ class SwinIR(nn.Module):
             )
             feats = feats + ape[None].astype(dt)
 
+        # Stochastic-depth linear decay rule (network_swinir.py:701):
+        # rates 0 -> drop_path_rate across all blocks; active only when
+        # train=True (inference parity unaffected).
         total_depth = sum(cfg.depths)
-        dpr = [
-            float(r) for r in np.linspace(0, 0.0, total_depth)
-        ]  # drop-path off by default for SR (reference notes "no impact")
+        dpr = [float(r) for r in np.linspace(0, cfg.drop_path_rate, total_depth)]
         start = 0
         for i, depth in enumerate(cfg.depths):
             feats = RSTB(

@@ -171,12 +171,12 @@ def fused_window_attention(
 def resolve_attention_impl(impl: str = "auto") -> str:
     """Resolve the attention implementation.
 
-    'auto' currently resolves to 'jnp' everywhere: measured at MODEL
-    level on v5e, XLA's einsum path runs the biased window attention at
-    ~1.4 ms/block vs ~2.8 ms for this kernel (both far from the ~0.12 ms
-    bandwidth bound — the per-window matmuls are too small for either
-    backend to saturate the MXU; a hand-pipelined Mosaic kernel is the
-    open follow-up).  'pallas' remains selectable for experimentation.
+    'auto' currently resolves to 'jnp' everywhere.  Round-2 measured the
+    fully-fused qkv+attention+proj kernel ('fused',
+    ops/pallas/fused_attention.py) at 191 vs 125 ms whole-model on v5e
+    (256x256 SwinIR-M bf16) — correct but not yet faster, so it stays
+    opt-in until it wins.  The round-1 window-packing kernel ('pallas',
+    ~2.8 ms/block vs XLA's 1.4) also remains selectable.
     """
     if impl != "auto":
         return impl

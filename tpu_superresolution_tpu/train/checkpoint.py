@@ -114,6 +114,23 @@ def load_weights_only(path: str):
                 f"checkpoint params structure does not match model config "
                 f"'{cfg.name}' at {path}"
             )
+        # Structure equality is not enough: a same-family different-width
+        # checkpoint has the identical tree but wrong leaf shapes and
+        # would explode deep inside apply().  Compare every leaf's
+        # shape/dtype and name the first mismatching path.
+        abs_leaves = jtu.tree_leaves_with_path(abstract["params"])
+        got_leaves = jtu.tree_leaves_with_path(restored["params"])
+        for (p_abs, a), (_, g) in zip(abs_leaves, got_leaves):
+            g_shape = tuple(getattr(g, "shape", ()))
+            g_dtype = getattr(g, "dtype", None)
+            if tuple(a.shape) != g_shape or (
+                g_dtype is not None and a.dtype != g_dtype
+            ):
+                raise ValueError(
+                    f"checkpoint param {jtu.keystr(p_abs)} has shape "
+                    f"{g_shape}/{g_dtype}, model config '{cfg.name}' expects "
+                    f"{tuple(a.shape)}/{a.dtype} (at {path})"
+                )
     return restored, meta
 
 

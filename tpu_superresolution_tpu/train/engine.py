@@ -89,16 +89,59 @@ def create_train_state(model, params, batch_stats, tx) -> TrainState:
     )
 
 
-def _apply_model(model, state: TrainState, x, train: bool):
+def _apply_model(model, state: TrainState, x, train: bool, rngs=None):
     variables = {"params": state.params}
     has_bn = bool(state.batch_stats)
     if has_bn:
         variables["batch_stats"] = state.batch_stats
+    kwargs = {"rngs": rngs} if (train and rngs) else {}
     if train and has_bn:
-        out, mutated = model.apply(variables, x, train=True, mutable=["batch_stats"])
+        out, mutated = model.apply(
+            variables, x, train=True, mutable=["batch_stats"], **kwargs
+        )
         return out, mutated["batch_stats"]
-    out = model.apply(variables, x, train=train)
+    out = model.apply(variables, x, train=train, **kwargs)
     return out, state.batch_stats
+
+
+def make_aug(
+    convention: str,
+    scale: int,
+    patch: Optional[int],
+    do_flips: bool,
+    do_blur: bool = False,
+    norm: Optional[Tuple[float, float]] = None,
+):
+    """Shared on-device augmentation pipeline builder (single-device and
+    data-parallel steps use the same one)."""
+    from tpu_superresolution_tpu.data.transforms import (
+        normalize,
+        pre_upscale_batch,
+    )
+
+    def aug(lr, hr, key):
+        if convention == "pre_upscale":
+            if patch is not None:
+                lr2, hr2 = make_train_batch_preupscale(
+                    lr, hr, key, scale, patch, do_flips, do_blur
+                )
+            else:
+                lr2, hr2 = pre_upscale_batch(lr, scale), hr
+        elif convention == "native_lr":
+            if patch is None:
+                lr2, hr2 = lr, hr
+            else:
+                lr2, hr2 = make_train_batch_native(
+                    lr, hr, key, scale, patch, do_flips, do_blur
+                )
+        else:
+            raise ValueError(convention)
+        if norm is not None:
+            lr2 = normalize(lr2, *norm)
+            hr2 = normalize(hr2, *norm)
+        return lr2, hr2
+
+    return aug
 
 
 def make_train_step(
@@ -108,35 +151,29 @@ def make_train_step(
     scale: int,
     patch: Optional[int],
     do_flips: bool,
+    do_blur: bool = False,
+    norm: Optional[Tuple[float, float]] = None,
 ):
     """Returns jit'd step(state, lr_raw, hr_raw, key) -> (state, metrics).
 
     Augmentation is fused into the step: raw decoded batches go in, the
-    whole pipeline runs as one XLA program on device.
+    whole pipeline runs as one XLA program on device.  `do_blur`/`norm`
+    wire the notebook's extended aug (cnn.ipynb cell 22): paired blur,
+    and (mean, std) normalization of both pair members.
     """
     loss_fn = get_loss(loss_name)
-
-    def aug(lr, hr, key):
-        if convention == "pre_upscale":
-            if patch is not None:
-                return make_train_batch_preupscale(lr, hr, key, scale, patch, do_flips)
-            from tpu_superresolution_tpu.data.transforms import pre_upscale_batch
-
-            lr2 = pre_upscale_batch(lr, scale)
-            return (lr2, hr)
-        elif convention == "native_lr":
-            if patch is None:
-                return lr, hr
-            return make_train_batch_native(lr, hr, key, scale, patch, do_flips)
-        raise ValueError(convention)
+    aug = make_aug(convention, scale, patch, do_flips, do_blur, norm)
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, lr_raw, hr_raw, key):
-        lr, hr = aug(lr_raw, hr_raw, key)
+        aug_key, dp_key = jax.random.split(key)
+        lr, hr = aug(lr_raw, hr_raw, aug_key)
 
         def compute_loss(params):
             st = state.replace(params=params)
-            out, new_stats = _apply_model(model, st, lr, train=True)
+            out, new_stats = _apply_model(
+                model, st, lr, train=True, rngs={"drop_path": dp_key}
+            )
             out = out.astype(jnp.float32)
             loss = loss_fn(out, hr)
             return loss, (out, new_stats)
@@ -157,7 +194,13 @@ def make_train_step(
     return step
 
 
-def make_eval_step(model, loss_name: str, convention: str, scale: int):
+def make_eval_step(
+    model,
+    loss_name: str,
+    convention: str,
+    scale: int,
+    norm: Optional[Tuple[float, float]] = None,
+):
     """jit'd eval step: full-image, loss + per-image PSNR/SSIM sums
     (reference validate, train.py:140-179)."""
     loss_fn = get_loss(loss_name)
@@ -172,6 +215,11 @@ def make_eval_step(model, loss_name: str, convention: str, scale: int):
         # nan_to_num input scrub (train.py:157-158)
         lr = jnp.nan_to_num(lr, nan=0.0, posinf=0.0, neginf=0.0)
         hr = jnp.nan_to_num(hr_raw, nan=0.0, posinf=0.0, neginf=0.0)
+        if norm is not None:
+            from tpu_superresolution_tpu.data.transforms import normalize
+
+            lr = normalize(lr, *norm)
+            hr = normalize(hr, *norm)
         out, _ = _apply_model(model, state, lr, train=False)
         out = out.astype(jnp.float32)
         loss = loss_fn(out, hr)
@@ -203,6 +251,7 @@ class Trainer:
     history: Dict[str, list] = field(default_factory=lambda: {"train": [], "val": []})
     best_val_loss: float = math.inf
     best_val_psnr: float = -math.inf
+    _no_improve: int = 0
 
     def fit(self, state: TrainState, train_loader, valid_loader, rng_key=None):
         tcfg = self.train_config
@@ -211,10 +260,15 @@ class Trainer:
 
         convention = dcfg.convention
         patch = dcfg.patch_size if convention == "pre_upscale" else dcfg.lr_patch
+        norm = (dcfg.norm_mean, dcfg.norm_std) if dcfg.normalizes else None
 
         # Data parallelism: dp_shards > 1 switches to the shard_map+psum
         # steps over a device mesh; batches are sharded along axis 0.
-        dp = tcfg.dp_shards if tcfg.dp_shards and tcfg.dp_shards > 1 else 0
+        # -1 = auto: use every local device.
+        dp = tcfg.dp_shards
+        if dp == -1:
+            dp = jax.device_count()
+        dp = dp if dp and dp > 1 else 0
         shard = lambda t: t
         if dp:
             from tpu_superresolution_tpu.parallel import (
@@ -229,25 +283,22 @@ class Trainer:
             state = replicate(state, mesh)
             train_step = make_dp_train_step(
                 self.model, tcfg.loss, convention, dcfg.scale_int, patch,
-                dcfg.do_flips, mesh,
+                dcfg.do_flips, mesh, do_blur=dcfg.do_blur, norm=norm,
             )
             dp_eval = make_dp_eval_step(
-                self.model, tcfg.loss, convention, dcfg.scale_int, mesh
+                self.model, tcfg.loss, convention, dcfg.scale_int, mesh,
+                norm=norm,
             )
             # ragged val batches (not divisible by dp) fall back to the
             # single-device eval step — no data is skipped.
             single_eval = make_eval_step(
-                self.model, tcfg.loss, convention, dcfg.scale_int
+                self.model, tcfg.loss, convention, dcfg.scale_int, norm=norm
             )
 
             def eval_step(st, lr, hr):
                 if lr.shape[0] % dp:
                     return single_eval(st, lr, hr)
-                m = dict(dp_eval(st, *shard((lr, hr))))
-                # dp eval reports loss/psnr only; ssim is host-side and
-                # omitted in sharded mode.
-                m["ssim_sum"] = jnp.zeros(())
-                return m
+                return dict(dp_eval(st, *shard((lr, hr))))
 
             shard = lambda t: shard_batch(t, mesh)
             self.log(f"[dp] data-parallel over {dp} devices (shard_map + psum)")
@@ -259,9 +310,11 @@ class Trainer:
                 dcfg.scale_int,
                 patch,
                 dcfg.do_flips,
+                do_blur=dcfg.do_blur,
+                norm=norm,
             )
             eval_step = make_eval_step(
-                self.model, tcfg.loss, convention, dcfg.scale_int
+                self.model, tcfg.loss, convention, dcfg.scale_int, norm=norm
             )
 
         t_start = time.time()
@@ -273,15 +326,35 @@ class Trainer:
             end = time.time()
             for lr_np, hr_np in train_loader:
                 data_t += time.time() - end
-                if dp and lr_np.shape[0] % dp:
-                    end = time.time()
-                    continue  # ragged batch can't shard evenly
                 t0 = time.time()
                 key, sub = jax.random.split(key)
-                lr_b, hr_b = shard((jnp.asarray(lr_np), jnp.asarray(hr_np)))
-                state, metrics = train_step(state, lr_b, hr_b, sub)
+                if dp:
+                    # Ragged batches are padded to a device multiple by
+                    # wrapping real samples; the pads carry weight 0 so
+                    # loss/grads/metrics are exact — no batch is dropped.
+                    n = lr_np.shape[0]
+                    pad = (-n) % dp
+                    w = np.ones((n + pad,), np.float32)
+                    if pad:
+                        idx = np.arange(n + pad) % n
+                        lr_np = np.asarray(lr_np)[idx]
+                        hr_np = np.asarray(hr_np)[idx]
+                        w[n:] = 0.0
+                    lr_b, hr_b, w_b = shard(
+                        (jnp.asarray(lr_np), jnp.asarray(hr_np), jnp.asarray(w))
+                    )
+                    state, metrics = train_step(state, lr_b, hr_b, sub, w_b)
+                else:
+                    lr_b, hr_b = jnp.asarray(lr_np), jnp.asarray(hr_np)
+                    state, metrics = train_step(state, lr_b, hr_b, sub)
                 losses.append(metrics["loss"])
                 step_t += time.time() - t0
+                if tcfg.time_log_every and len(losses) % tcfg.time_log_every == 0:
+                    n_done = len(losses)
+                    self.log(
+                        f"[{dcfg.scale}][time] batch {n_done}: "
+                        f"data {data_t / n_done:.3f}s/b step {step_t / n_done:.3f}s/b"
+                    )
                 end = time.time()
             n_steps = max(1, len(losses))
             tr_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
@@ -324,7 +397,8 @@ class Trainer:
             # ---- checkpoints ----
             from tpu_superresolution_tpu.train.checkpoint import save_checkpoint
 
-            if val_loss < self.best_val_loss:
+            improved = val_loss < self.best_val_loss
+            if improved:
                 self.best_val_loss = val_loss
                 save_checkpoint(
                     f"{self.workdir}/best_{dcfg.scale}",
@@ -345,6 +419,20 @@ class Trainer:
                     self.model_config,
                     extra={"epoch": epoch, "best_val_psnr": val_psnr, "val_loss": val_loss},
                 )
+
+            # ---- early stopping (lost reference CLI's
+            # --early_stop_patience, common_commands.txt:5-6) ----
+            self._no_improve = 0 if improved else self._no_improve + 1
+            if (
+                tcfg.early_stop_patience
+                and self._no_improve >= tcfg.early_stop_patience
+            ):
+                self.log(
+                    f"[early_stop] no val-loss improvement for "
+                    f"{self._no_improve} epochs (patience "
+                    f"{tcfg.early_stop_patience}) — stopping at epoch {epoch}"
+                )
+                break
 
         self.save_loss_curve(f"{self.workdir}/loss_curve_{dcfg.scale}.png")
         self.save_run_report(f"{self.workdir}/run_{dcfg.scale}.json")
