@@ -49,6 +49,7 @@ def _make_pair(scale=2, upsampler="pixelshuffle", img_size=16, window_size=4,
         mlp_ratio=2.0,
         upsampler=upsampler,
         resi_connection=resi_connection,
+        gelu_approximate=False,  # golden parity needs torch's exact erf
     )
     jmodel = build_model(cfg)
     variables = convert_swinir(extract_state_dict(tmodel.state_dict()), scale=scale)

@@ -100,7 +100,11 @@ class SwinIRConfig(ModelConfig):
     img_range: float = 1.0
     use_remat: bool = False
     attention_impl: str = "auto"  # "auto" | "jnp" | "pallas"
-    gelu_approximate: bool = False  # tanh gelu: faster on TPU, tiny drift
+    # tanh-gelu production default: measured (round 2, v5e, converted
+    # torch-init SwinIR-M) the tanh-vs-erf output delta is 67.8 dB PSNR —
+    # BELOW the bf16-vs-fp32 dtype floor of 64.1 dB — and ~7% faster
+    # whole-model.  Parity tests pass False (torch uses exact erf).
+    gelu_approximate: bool = True
     # Stochastic depth, linear decay 0 -> rate over sum(depths)
     # (reference network_swinir.py:649,701); inactive at inference.
     drop_path_rate: float = 0.1

@@ -171,16 +171,20 @@ def fused_window_attention(
 def resolve_attention_impl(impl: str = "auto") -> str:
     """Resolve the attention implementation.
 
-    'auto' currently resolves to 'jnp' everywhere.  Round-2 measured the
-    fully-fused qkv+attention+proj kernel ('fused',
-    ops/pallas/fused_attention.py) at 191 vs 125 ms whole-model on v5e
-    (256x256 SwinIR-M bf16) — correct but not yet faster, so it stays
-    opt-in until it wins.  The round-1 window-packing kernel ('pallas',
-    ~2.8 ms/block vs XLA's 1.4) also remains selectable.
+    'auto' resolves to 'fused' on TPU — the fully-fused qkv+attention+
+    proj kernel (ops/pallas/fused_attention.py), measured (round 2,
+    v5e, on-device chained timing) 74 vs 92 ms SwinIR-M body at 256x256
+    bf16 and 7.32 vs 5.86 MPix/s on the tiled x4 bench — and 'jnp'
+    elsewhere (CPU tests / virtual multi-chip mesh, where Mosaic can't
+    compile; the kernel's interpret mode covers CPU when selected
+    explicitly).  The round-1 window-packing kernel ('pallas',
+    ~2.8 ms/block vs XLA's 1.4) remains selectable for comparison.
     """
     if impl != "auto":
         return impl
-    return "jnp"
+    import jax
+
+    return "fused" if jax.default_backend() == "tpu" else "jnp"
 
 
 def window_attention_reference(q, k, v, bias, mask=None, scale=1.0):
