@@ -111,6 +111,41 @@ class DenseParams(nn.Module):
         return kernel, bias
 
 
+class LayerNormParams(nn.Module):
+    """nn.LayerNorm-compatible {scale, bias} params, returned raw (for
+    fused kernels that run the normalization in VMEM)."""
+
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param(
+            "scale", nn.initializers.ones, (features,), self.param_dtype
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (features,), self.param_dtype
+        )
+        return scale, bias
+
+
+class MlpParams(nn.Module):
+    """Mlp-compatible fc1/fc2 {kernel, bias} params, returned raw."""
+
+    hidden_features: int
+    out_features: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        w1, b1 = DenseParams(
+            self.hidden_features, param_dtype=self.param_dtype, name="fc1"
+        )(in_features)
+        w2, b2 = DenseParams(
+            self.out_features, param_dtype=self.param_dtype, name="fc2"
+        )(self.hidden_features)
+        return w1, b1, w2, b2
+
+
 class Mlp(nn.Module):
     """2-layer GELU MLP (reference network_swinir.py:14-30).
 

@@ -37,7 +37,9 @@ import numpy as np
 from tpu_superresolution_tpu.core.config import SwinIRConfig, register_model
 from tpu_superresolution_tpu.models.blocks import (
     DenseParams,
+    LayerNormParams,
     Mlp,
+    MlpParams,
     PixelShuffleDirect,
     PixelShuffleUpsample,
     check_image_size,
@@ -147,9 +149,42 @@ class WindowAttention(nn.Module):
         return out
 
 
+class _AttnParams(nn.Module):
+    """Declares WindowAttention's exact parameter tree (qkv/proj Dense +
+    relative_position_bias_table) and returns the raw tensors — the
+    megakernel path consumes them directly while checkpoints stay
+    byte-compatible with the module path."""
+
+    dim: int
+    window_size: int
+    num_heads: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        c = self.dim
+        wqkv, bqkv = DenseParams(
+            3 * c, kernel_init=_TRUNC02, use_bias=self.qkv_bias, name="qkv"
+        )(c)
+        wproj, bproj = DenseParams(c, kernel_init=_TRUNC02, name="proj")(c)
+        table = self.param(
+            "relative_position_bias_table",
+            _TRUNC02,
+            ((2 * self.window_size - 1) ** 2, self.num_heads),
+        )
+        return wqkv, bqkv, wproj, bproj, table
+
+
 class SwinBlock(nn.Module):
     """Swin transformer block: (shifted) W-MSA + MLP
-    (reference network_swinir.py:164-279)."""
+    (reference network_swinir.py:164-279).
+
+    On TPU at inference (and drop-path-free training) the WHOLE block
+    runs as one Pallas megakernel (ops/pallas/fused_block.py): LN1 ->
+    qkv -> masked window attention -> proj -> residual -> LN2 -> MLP ->
+    residual in VMEM, with window partition/reverse replaced by
+    trace-time permuted bias/mask tables.  The cyclic roll stays
+    outside (it commutes with every pointwise op)."""
 
     dim: int
     num_heads: int
@@ -164,6 +199,13 @@ class SwinBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from tpu_superresolution_tpu.ops.pallas.fused_block import (
+            fused_swin_block,
+        )
+        from tpu_superresolution_tpu.ops.pallas.window_attention import (
+            resolve_attention_impl,
+        )
+
         b, h, w, c = x.shape
         ws, shift = self.window_size, self.shift_size
         # Reference rule (network_swinir.py:193-196): if the resolution is
@@ -172,6 +214,37 @@ class SwinBlock(nn.Module):
         if min(h, w) <= ws:
             ws = min(h, w)
             shift = 0
+
+        dp_active = (not deterministic) and self.drop_path_rate > 0
+        if (
+            resolve_attention_impl(self.attn_impl) == "fused"
+            and not dp_active
+            and h % ws == 0
+            and w % ws == 0
+        ):
+            nh = self.num_heads
+            wqkv, bqkv, wproj, bproj, table = _AttnParams(
+                self.dim, ws, nh, self.qkv_bias, name="attn"
+            )()
+            g1, b1 = LayerNormParams(name="norm1")(c)
+            g2, b2 = LayerNormParams(name="norm2")(c)
+            w1, bb1, w2, bb2 = MlpParams(
+                int(self.dim * self.mlp_ratio), self.dim, name="mlp"
+            )(c)
+            rpi = relative_position_index(ws)
+            bias = (
+                table[rpi.reshape(-1)]
+                .reshape(ws * ws, ws * ws, nh)
+                .transpose(2, 0, 1)
+            )
+            mask = shift_attn_mask(h, w, ws, shift) if shift > 0 else None
+            xs = cyclic_shift(x.astype(self.dtype), shift)
+            out = fused_swin_block(
+                xs, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+                w1, bb1, w2, bb2, bias.astype(jnp.float32),
+                ws, mask, (c // nh) ** -0.5, self.gelu_approximate,
+            )
+            return cyclic_unshift(out, shift)
 
         shortcut = x
         x = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm1")(x)
