@@ -144,3 +144,53 @@ def test_swinir_fused_impl_grads(rng):
     g2 = jax.grad(loss(m2))(v["params"])
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_hat_fused_impl_matches_jnp(rng):
+    """Full HAT forward: attention_impl='fused' routes HAB through the
+    megakernel with the CAB branch as the `extra` input (interpret mode
+    on CPU); must match the module path — shifted masks included."""
+    from tpu_superresolution_tpu.core.config import HATConfig, build_model
+
+    def cfg(impl):
+        return HATConfig(
+            scale=2, img_size=16, window_size=4, embed_dim=12,
+            depths=(2, 2), num_heads=(2, 2), overlap_ratio=0.5,
+            compress_ratio=3, squeeze_factor=4,
+            mlp_ratio=2.0, attention_impl=impl, drop_path_rate=0.0,
+        )
+
+    x = jnp.asarray(rng.random((1, 20, 16, 3), dtype=np.float32))
+    m1 = build_model(cfg("jnp"))
+    m2 = build_model(cfg("fused"))
+    v = m1.init(jax.random.key(0), x, train=False)
+    y1 = m1.apply(v, x, train=False)
+    y2 = m2.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=3e-5)
+
+
+def test_hat_fused_impl_grads(rng):
+    """Gradients flow through the HAB fused path (custom_vjp incl. the
+    extra/CAB input) and match the module path."""
+    from tpu_superresolution_tpu.core.config import HATConfig, build_model
+
+    def cfg(impl):
+        return HATConfig(
+            scale=2, img_size=16, window_size=4, embed_dim=12,
+            depths=(2,), num_heads=(2,), overlap_ratio=0.5,
+            compress_ratio=3, squeeze_factor=4,
+            mlp_ratio=2.0, attention_impl=impl, drop_path_rate=0.0,
+        )
+
+    x = jnp.asarray(rng.random((1, 16, 16, 3), dtype=np.float32))
+    m1 = build_model(cfg("jnp"))
+    m2 = build_model(cfg("fused"))
+    v = m1.init(jax.random.key(0), x, train=False)
+
+    def loss(model):
+        return lambda p: jnp.mean(model.apply({"params": p}, x, train=False) ** 2)
+
+    g1 = jax.grad(loss(m1))(v["params"])
+    g2 = jax.grad(loss(m2))(v["params"])
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -146,6 +146,37 @@ class MlpParams(nn.Module):
         return w1, b1, w2, b2
 
 
+_TRUNC02 = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
+
+
+class AttnParams(nn.Module):
+    """Declares a window-attention module's exact parameter tree
+    (qkv/proj Dense + relative_position_bias_table) and returns the raw
+    tensors — the fused-block megakernel consumes them directly while
+    checkpoints stay byte-compatible with the module path (SwinIR's
+    WindowAttention, HAT's WindowAttentionHAT share this layout:
+    network_swinir.py:78-112, hat_arch.py:130-197)."""
+
+    dim: int
+    window_size: int
+    num_heads: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        c = self.dim
+        wqkv, bqkv = DenseParams(
+            3 * c, kernel_init=_TRUNC02, use_bias=self.qkv_bias, name="qkv"
+        )(c)
+        wproj, bproj = DenseParams(c, kernel_init=_TRUNC02, name="proj")(c)
+        table = self.param(
+            "relative_position_bias_table",
+            _TRUNC02,
+            ((2 * self.window_size - 1) ** 2, self.num_heads),
+        )
+        return wqkv, bqkv, wproj, bproj, table
+
+
 class Mlp(nn.Module):
     """2-layer GELU MLP (reference network_swinir.py:14-30).
 

@@ -33,7 +33,10 @@ import numpy as np
 
 from tpu_superresolution_tpu.core.config import HATConfig, register_model
 from tpu_superresolution_tpu.models.blocks import (
+    AttnParams,
+    LayerNormParams,
     Mlp,
+    MlpParams,
     PixelShuffleUpsample,
     check_image_size,
     drop_path,
@@ -152,10 +155,63 @@ class HAB(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from tpu_superresolution_tpu.ops.pallas.fused_block import (
+            _ln,
+            fused_swin_block,
+        )
+        from tpu_superresolution_tpu.ops.pallas.window_attention import (
+            resolve_attention_impl,
+        )
+
         b, h, w, c = x.shape
         ws, shift = self.window_size, self.shift_size
         if min(h, w) <= ws:
             ws, shift = min(h, w), 0
+
+        # Fused path: the whole HAB (LN1 -> W-MSA -> +CAB -> residual ->
+        # LN2 -> MLP -> residual, hat_arch.py:287-310) runs as one Pallas
+        # megakernel; the CAB conv branch is computed outside (XLA convs)
+        # and rides into the kernel as the `extra` additive term.
+        # Drop-path applies to the attention residual only
+        # (hat_arch.py:307-308), which the kernel can't express — fall
+        # back to the module path when it's active.
+        dp_active = (not deterministic) and self.drop_path_rate > 0
+        if (
+            resolve_attention_impl(self.attn_impl) == "fused"
+            and not dp_active
+            and h % ws == 0
+            and w % ws == 0
+        ):
+            nh = self.num_heads
+            wqkv, bqkv, wproj, bproj, table = AttnParams(
+                self.dim, ws, nh, self.qkv_bias, name="attn"
+            )()
+            g1, b1 = LayerNormParams(name="norm1")(c)
+            g2, b2 = LayerNormParams(name="norm2")(c)
+            w1, bb1, w2, bb2 = MlpParams(
+                int(self.dim * self.mlp_ratio), self.dim, name="mlp"
+            )(c)
+            rpi = relative_position_index(ws)
+            bias = (
+                table[rpi.reshape(-1)]
+                .reshape(ws * ws, ws * ws, nh)
+                .transpose(2, 0, 1)
+            )
+            mask = shift_attn_mask(h, w, ws, shift) if shift > 0 else None
+            # CAB consumes LN1(x); same fp32-stats formula the kernel
+            # applies internally.
+            ln1 = _ln(x.astype(jnp.float32), g1, b1).astype(self.dtype)
+            conv_x = CAB(self.compress_ratio, self.squeeze_factor,
+                         self.dtype, name="conv_block")(ln1)
+            extra = conv_x * jnp.asarray(self.conv_scale, conv_x.dtype)
+            xs = cyclic_shift(x.astype(self.dtype), shift)
+            es = cyclic_shift(extra, shift)
+            out = fused_swin_block(
+                xs, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+                w1, bb1, w2, bb2, bias.astype(jnp.float32),
+                ws, mask, (c // nh) ** -0.5, False, extra=es,
+            )
+            return cyclic_unshift(out, shift)
 
         shortcut = x
         x = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm1")(x)

@@ -36,6 +36,7 @@ import numpy as np
 
 from tpu_superresolution_tpu.core.config import SwinIRConfig, register_model
 from tpu_superresolution_tpu.models.blocks import (
+    AttnParams as _AttnParams,
     DenseParams,
     LayerNormParams,
     Mlp,
@@ -147,32 +148,6 @@ class WindowAttention(nn.Module):
             out = out.reshape(b, nw, n, c)
         out = out @ wproj.astype(dt) + bproj.astype(dt)
         return out
-
-
-class _AttnParams(nn.Module):
-    """Declares WindowAttention's exact parameter tree (qkv/proj Dense +
-    relative_position_bias_table) and returns the raw tensors — the
-    megakernel path consumes them directly while checkpoints stay
-    byte-compatible with the module path."""
-
-    dim: int
-    window_size: int
-    num_heads: int
-    qkv_bias: bool = True
-
-    @nn.compact
-    def __call__(self):
-        c = self.dim
-        wqkv, bqkv = DenseParams(
-            3 * c, kernel_init=_TRUNC02, use_bias=self.qkv_bias, name="qkv"
-        )(c)
-        wproj, bproj = DenseParams(c, kernel_init=_TRUNC02, name="proj")(c)
-        table = self.param(
-            "relative_position_bias_table",
-            _TRUNC02,
-            ((2 * self.window_size - 1) ** 2, self.num_heads),
-        )
-        return wqkv, bqkv, wproj, bproj, table
 
 
 class SwinBlock(nn.Module):

@@ -7,25 +7,27 @@ still pays XLA window_partition / window_reverse layout passes plus
 separate LN/MLP kernels around every pallas_call), this kernel:
 
 - consumes the feature map [B, H, W, C] DIRECTLY.  Each grid step loads
-  one strip of P windows — block (1, ws, P*ws, C), whose natural
-  row-major flattening [ws*P*ws, C] is a free reshape.  Window
-  partition/reverse disappear: attention is permutation-equivariant, so
-  instead of reordering tokens we reorder the BIAS/MASK tables at trace
-  time (strip token s sits in window (s % (P*ws)) // ws at intra-window
-  position (s // (P*ws)) * ws + s % ws; numpy does the bookkeeping).
+  one VERTICAL strip of P windows — block (1, P*ws, ws, C), whose
+  row-major flattening [P*ws*ws, C] is a free reshape in which window
+  j's ws*ws tokens are CONTIGUOUS rows [j*N, (j+1)*N).  Window
+  partition/reverse therefore disappear into free sublane-aligned
+  slices, and attention is computed per window as P independent [N, N]
+  score blocks — never the [T, T] cross-window matrix, whose off-window
+  three-quarters would be -inf-masked dead FLOPs (measured round 2:
+  the horizontal-strip [T, T] variant spent ~48% of its padded MXU
+  FLOPs and 4x its softmax transcendentals on masked-out entries).
+- uses the relative-position bias [nH, N, N] and the reference's shift
+  mask [nW, N, N] (network_swinir.py:132-138) directly — no permuted
+  tables; the mask rides in as a (P, 1, N, N) block of the
+  [nwh, nww, N, N] reshape, indexed by the strip's grid position.
 - runs both LayerNorms (fp32 stats, flax formula), the erf/tanh-gelu
   MLP, and both residual adds in VMEM.  Per block layer the only HBM
-  traffic is x in + out out + resident weights.
+  traffic is x in + out out + resident weights (+ the mask block when
+  shifted).
 - reproduces the reference SwinTransformerBlock semantics
-  (modules/network_swinir.py:239-279) including the shifted-window mask
-  (:259-262); the cyclic roll itself commutes with every pointwise op,
-  so callers roll OUTSIDE (jnp.roll is a cheap XLA copy) and this
-  kernel sees the rolled domain.
-
-Shift-mask tiles are deduplicated: a (rows x chunks) image has at most
-4 distinct strip-mask patterns (interior / last-row / last-col /
-corner), found with np.unique; the per-strip tile index rides in as a
-scalar-prefetch argument so the index_map can look it up.
+  (modules/network_swinir.py:239-279); the cyclic roll itself commutes
+  with every pointwise op, so callers roll OUTSIDE (jnp.roll is a cheap
+  XLA copy) and this kernel sees the rolled domain.
 
 Backward = custom_vjp over the jnp reference composition (exact math,
 recompute).
@@ -44,8 +46,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpu_superresolution_tpu.ops.pallas.fused_attention import _prep_weights
 
-_NEG = -1e9
-
 
 def _ln(x32, scale, bias, eps=1e-5):
     """flax nn.LayerNorm (fast-variance) in fp32."""
@@ -59,15 +59,22 @@ def _gelu(x, approximate):
     return jax.nn.gelu(x, approximate=approximate)
 
 
-def _kernel(idx_ref,  # scalar-prefetch: [n_strips] mask-tile index
-            x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
-            g1_ref, b1_ref, g2_ref, b2_ref,
-            wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
-            rpb_ref, mask_ref, o_ref,
-            *, num_heads, hdp, t, c, cdt, gelu_approx):
+def _kernel(x_ref, *refs,
+            num_heads, hdp, ws, p, c, cdt, gelu_approx,
+            has_extra, has_mask):
+    refs = list(refs)
+    e_ref = refs.pop(0) if has_extra else None
+    (wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+     g1_ref, b1_ref, g2_ref, b2_ref,
+     wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref, rpb_ref) = refs[:13]
+    mask_ref = refs[13] if has_mask else None
+    o_ref = refs[-1]
+
+    n = ws * ws
+    t = p * n
     xf = x_ref[:].reshape(t, c).astype(jnp.float32)
 
-    # ---- LN1 -> qkv -> windowed attention -> proj ----
+    # ---- LN1 -> qkv ----
     y = _ln(xf, g1_ref[:], b1_ref[:]).astype(cdt)
     qkv = jax.lax.dot_general(
         y, wqkv_ref[:], (((1,), (0,)), ((), ())),
@@ -75,31 +82,43 @@ def _kernel(idx_ref,  # scalar-prefetch: [n_strips] mask-tile index
     )
     qkv = (qkv + bqkv_ref[:]).astype(cdt)
 
+    # ---- per-window masked attention, batched over the P windows ----
+    # Window j's tokens are the contiguous rows [j*N, (j+1)*N) of the
+    # flattened strip, so [T, hdp] -> [P, N, hdp] is a free sublane
+    # split and each head runs ONE batched [N, N] score matmul.
     koff = num_heads * hdp
     voff = 2 * koff
     outs = []
     for h in range(num_heads):
-        q = qkv[:, h * hdp : (h + 1) * hdp]
-        k = qkv[:, koff + h * hdp : koff + (h + 1) * hdp]
-        v = qkv[:, voff + h * hdp : voff + (h + 1) * hdp]
+        q = qkv[:, h * hdp : (h + 1) * hdp].reshape(p, n, hdp)
+        k = qkv[:, koff + h * hdp : koff + (h + 1) * hdp].reshape(p, n, hdp)
+        v = qkv[:, voff + h * hdp : voff + (h + 1) * hdp].reshape(p, n, hdp)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        s = s + rpb_ref[h] + mask_ref[0]
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [P, N, N]
+        s = s + rpb_ref[h][None]
+        if has_mask:
+            s = s + mask_ref[:, 0]
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         sm = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdt)
         o = jax.lax.dot_general(
-            sm, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        outs.append(o.astype(cdt))
-    o_cat = jnp.concatenate(outs, axis=-1)
+            sm, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [P, N, hdp]
+        outs.append(o.reshape(t, hdp).astype(cdt))
+    o_cat = jnp.concatenate(outs, axis=-1)  # [T, nH*hdp]
     attn = jax.lax.dot_general(
         o_cat, wproj_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bproj_ref[:]
 
     x1 = xf + attn
+    if has_extra:
+        # Caller-supplied additive term on the attention residual
+        # (HAT's conv_scale * CAB branch — hat_arch.py:307-308).
+        x1 = x1 + e_ref[:].reshape(t, c).astype(jnp.float32)
 
     # ---- LN2 -> MLP -> residual ----
     y2 = _ln(x1, g2_ref[:], b2_ref[:]).astype(cdt)
@@ -117,48 +136,9 @@ def _kernel(idx_ref,  # scalar-prefetch: [n_strips] mask-tile index
     o_ref[:] = out.astype(o_ref.dtype).reshape(x_ref.shape)
 
 
-def _strip_layout(ws: int, p: int):
-    """Token bookkeeping for a [ws, p*ws] strip flattened row-major."""
-    t = ws * p * ws
-    s = np.arange(t)
-    hh = s // (p * ws)
-    wwi = s % (p * ws)
-    jwin = wwi // ws              # which of the P windows
-    q = hh * ws + (wwi % ws)      # intra-window token index
-    same = jwin[:, None] == jwin[None, :]
-    return t, jwin, q, same
-
-
-def _strip_mask_tiles(mask: Optional[np.ndarray], nwh: int, nww: int,
-                      ws: int, p: int):
-    """Dedup'd strip mask tiles [K, T, T] + per-strip index [nwh*nchunks].
-    Tiles carry the -1e9 cross-window term; masked entries add the
-    shift-mask values permuted into strip order."""
-    t, jwin, q, same = _strip_layout(ws, p)
-    nchunks = nww // p
-    base = np.where(same, 0.0, _NEG).astype(np.float32)
-    if mask is None:
-        return base[None], np.zeros((nwh * nchunks,), np.int32)
-
-    # mask: [nW, N, N] in window-row-major order
-    tiles = np.empty((nwh * nchunks, t, t), np.float32)
-    qq = q[:, None] * mask.shape[1] + q[None, :]  # flat [T,T] index into N*N
-    mflat = mask.reshape(mask.shape[0], -1)
-    for r in range(nwh):
-        for cch in range(nchunks):
-            widx = r * nww + cch * p + jwin  # [T] window id per token row
-            # entry (s1, s2) uses window widx[s1] (rows' window)
-            tile = mflat[widx[:, None], qq] * same + base
-            tiles[r * nchunks + cch] = tile
-    uniq, inverse = np.unique(
-        tiles.reshape(tiles.shape[0], -1), axis=0, return_inverse=True
-    )
-    return uniq.reshape(-1, t, t), inverse.astype(np.int32)
-
-
 def _reference_block(x, g1, b1, wqkv, bqkv, wproj, bproj,
                      g2, b2, wfc1, bfc1, wfc2, bfc2, bias,
-                     ws, mask, scale, gelu_approx):
+                     ws, mask, scale, gelu_approx, extra=None):
     """jnp composition with identical semantics (vjp + oracle).
     x: [B, H, W, C] (already rolled)."""
     from tpu_superresolution_tpu.ops.window import (
@@ -176,6 +156,8 @@ def _reference_block(x, g1, b1, wqkv, bqkv, wproj, bproj,
     attn = _reference_impl(xw, wqkv, bqkv, wproj, bproj, bias, mask, scale)
     attn = window_reverse(attn, ws, hh, www).astype(jnp.float32)
     x1 = xf + attn
+    if extra is not None:
+        x1 = x1 + extra.astype(jnp.float32)
     y2 = _ln(x1, g2, b2).astype(x.dtype)
     h1 = y2 @ wfc1.astype(x.dtype)
     h1 = h1 + bfc1.astype(x.dtype)
@@ -187,54 +169,48 @@ def _reference_block(x, g1, b1, wqkv, bqkv, wproj, bproj,
 
 def _mega_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
                   wfc1, bfc1, wfc2, bfc2, bias,
-                  ws, mask, scale, gelu_approx, interpret, max_p=4):
+                  ws, mask, scale, gelu_approx, interpret, extra=None,
+                  max_p=16):
     b, hh, www, c = x.shape
     nh = bias.shape[0]
     nwh, nww = hh // ws, www // ws
+    n = ws * ws
+    # Largest divisor of nwh with T = p*N tokens under the VMEM budget.
+    # Bigger strips win (measured v5e, 256x256x180: 0.82 ms/block at
+    # T=1024 vs 1.17 at T=256) — the batched score matmuls amortize
+    # better and the serial LN/GEMM chain pipelines deeper.
     p = 1
-    for cand in (max_p, 2, 1):
-        if cand <= max_p and nww % cand == 0 and ws * cand * ws <= 512:
+    for cand in range(min(max_p, nwh), 0, -1):
+        if nwh % cand == 0 and cand * n <= 1024:
             p = cand
             break
-    nchunks = nww // p
-    t, jwin, q, same = _strip_layout(ws, p)
+    nchunks = nwh // p
+    t = p * n
 
     w, bq, wp, bp, hdp = _prep_weights(wqkv, bqkv, wproj, bproj, nh, scale)
-
-    # permuted per-head RPB: [nH, T, T]
-    bias32 = bias.astype(jnp.float32)
-    rpb = bias32[:, q[:, None], q[None, :]] * jnp.asarray(
-        same, jnp.float32
-    )[None]
-
-    tiles, inverse = _strip_mask_tiles(mask, nwh, nww, ws, p)
-    # strip id = (b, r, cch) -> r * nchunks + cch (batch-independent)
-    strip_idx = jnp.asarray(np.tile(inverse, b), jnp.int32)
 
     dtype = x.dtype
     cdt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
     row = lambda a: a.reshape(1, -1)
 
     kernel = functools.partial(
-        _kernel, num_heads=nh, hdp=hdp, t=t, c=c, cdt=cdt,
+        _kernel, num_heads=nh, hdp=hdp, ws=ws, p=p, c=c, cdt=cdt,
         gelu_approx=gelu_approx,
+        has_extra=extra is not None, has_mask=mask is not None,
     )
 
-    grid = (b, nwh, nchunks)
+    grid = (b, nchunks, nww)
 
-    def xmap(bb, r, cc, idx_ref):
+    def xmap(bb, r, cc):
         return (bb, r, cc, 0)
 
-    def maskmap(bb, r, cc, idx_ref):
-        return (idx_ref[(bb * nwh + r) * nchunks + cc], 0, 0)
+    const = lambda *shape: (lambda bb, r, cc: tuple([0] * len(shape)))
 
-    const = lambda *shape: (lambda bb, r, cc, idx_ref: tuple([0] * len(shape)))
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, ws, p * ws, c), xmap, memory_space=pltpu.VMEM),
+    xspec = pl.BlockSpec((1, p * ws, ws, c), xmap, memory_space=pltpu.VMEM)
+    in_specs = (
+        [xspec]
+        + ([xspec] if extra is not None else [])
+        + [
             pl.BlockSpec((c, w.shape[1]), const(0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq.shape[1]), const(0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((wp.shape[0], c), const(0, 0), memory_space=pltpu.VMEM),
@@ -247,28 +223,44 @@ def _mega_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
             pl.BlockSpec((1, wfc1.shape[1]), const(0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(wfc2.shape, const(0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), const(0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nh, t, t), const(0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, t), maskmap, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, ws, p * ws, c), xmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nh, n, n), const(0, 0, 0), memory_space=pltpu.VMEM),
+        ]
     )
 
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(x.shape, dtype),
-        interpret=interpret,
-    )(
-        strip_idx,
-        x,
+    args = [x]
+    if extra is not None:
+        args.append(extra.astype(dtype))
+    args += [
         w.astype(cdt), row(bq),
         wp.astype(cdt), row(bp),
         row(g1.astype(jnp.float32)), row(b1.astype(jnp.float32)),
         row(g2.astype(jnp.float32)), row(b2.astype(jnp.float32)),
         wfc1.astype(cdt), row(bfc1.astype(jnp.float32)),
         wfc2.astype(cdt), row(bfc2.astype(jnp.float32)),
-        rpb, jnp.asarray(tiles),
-    )
+        bias.astype(jnp.float32),
+    ]
+
+    if mask is not None:
+        # [nW, N, N] window-row-major -> [nwh, nww, N, N]; the strip at
+        # grid (b, r, cc) covers window rows [r*P, (r+1)*P) in column cc.
+        mask4 = np.asarray(mask, np.float32).reshape(nwh, nww, n, n)
+        in_specs.append(
+            pl.BlockSpec(
+                (p, 1, n, n),
+                lambda bb, r, cc: (r, cc, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(jnp.asarray(mask4))
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, dtype),
+        interpret=interpret,
+    )(*args)
     return out
 
 
@@ -276,35 +268,69 @@ def fused_swin_block(
     x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
     wfc1, bfc1, wfc2, bfc2, bias,
     ws, mask=None, scale=1.0, gelu_approx=True, interpret=None,
+    extra=None,
 ):
     """Full Swin transformer block on a (pre-rolled) [B, H, W, C] map.
 
     Requires H % ws == 0 and W % ws == 0 (callers reflect-pad — the
     model already guarantees window multiples).  Differentiable via
     custom_vjp over the jnp reference composition.
+
+    `extra` (optional, [B, H, W, C], same rolled domain as `x`) is added
+    onto the attention residual inside the kernel: x1 = x + attn + extra.
+    HAT's HAB uses it for the conv_scale-weighted CAB branch
+    (hat_arch.py:307-308) so the whole hybrid block still runs as one
+    Pallas program.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    if extra is None:
+
+        @jax.custom_vjp
+        def op(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+               wfc1, bfc1, wfc2, bfc2, bias):
+            return _mega_forward(
+                x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+                wfc1, bfc1, wfc2, bfc2, bias,
+                ws, mask, scale, gelu_approx, interpret,
+            )
+
+        def op_fwd(*args):
+            return op(*args), args
+
+        def op_bwd(res, ct):
+            _, vjp = jax.vjp(
+                lambda *a: _reference_block(*a, ws, mask, scale, gelu_approx),
+                *res,
+            )
+            return vjp(ct.astype(res[0].dtype))
+
+        op.defvjp(op_fwd, op_bwd)
+        return op(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+                  wfc1, bfc1, wfc2, bfc2, bias)
+
     @jax.custom_vjp
-    def op(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
-           wfc1, bfc1, wfc2, bfc2, bias):
+    def op_ex(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+              wfc1, bfc1, wfc2, bfc2, bias, extra):
         return _mega_forward(
             x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
             wfc1, bfc1, wfc2, bfc2, bias,
-            ws, mask, scale, gelu_approx, interpret,
+            ws, mask, scale, gelu_approx, interpret, extra=extra,
         )
 
-    def op_fwd(*args):
-        return op(*args), args
+    def op_ex_fwd(*args):
+        return op_ex(*args), args
 
-    def op_bwd(res, ct):
+    def op_ex_bwd(res, ct):
         _, vjp = jax.vjp(
-            lambda *a: _reference_block(*a, ws, mask, scale, gelu_approx),
+            lambda *a: _reference_block(
+                *a[:14], ws, mask, scale, gelu_approx, extra=a[14]
+            ),
             *res,
         )
         return vjp(ct.astype(res[0].dtype))
 
-    op.defvjp(op_fwd, op_bwd)
-    return op(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
-              wfc1, bfc1, wfc2, bfc2, bias)
+    op_ex.defvjp(op_ex_fwd, op_ex_bwd)
+    return op_ex(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+                 wfc1, bfc1, wfc2, bfc2, bias, extra)
