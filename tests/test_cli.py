@@ -117,3 +117,27 @@ def test_train_cli_extended_aug_and_early_stop(dataset, tmp_path, capsys):
     assert "step" in out and "data" in out  # time_log_every lines
     # stopped before all 6 epochs
     assert "epoch 6:" not in out
+
+
+def test_evaluate_cli_torch_checkpoint(dataset, tmp_path, capsys):
+    """evaluate CLI accepts a reference-format torch .pt directly
+    (reference evaluate.py:41-63 workflow) — converted in place."""
+    import torch
+
+    from tests.util_torchref import import_reference
+    from tpu_superresolution_tpu.cli.evaluate import main as eval_main
+
+    ref = import_reference("ms_resunet")
+    tmodel = ref.MS_ResUNet()
+    tmodel.eval()
+    pt = tmp_path / "best_X2.pt"
+    torch.save({"model_state_dict": tmodel.state_dict()}, pt)
+
+    results = eval_main([
+        "--data_root", str(dataset), "--scale", "X2",
+        "--model", "ms_resunet", "--ckpt", str(pt),
+        "--batch_size", "2", "--save_n", "0", "--no_baseline",
+    ])
+    out = capsys.readouterr().out
+    assert "torch->flax converted" in out
+    assert np.isfinite(results["psnr"]) and np.isfinite(results["ssim"])

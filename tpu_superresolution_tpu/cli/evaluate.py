@@ -20,12 +20,44 @@ from tpu_superresolution_tpu.evaluate.baseline import bicubic_baseline
 from tpu_superresolution_tpu.evaluate.runner import Evaluator
 
 
+def _load_torch_checkpoint(model_name: str, path: str, scale: int):
+    """Convert a reference torch checkpoint to flax variables with the
+    published default architecture for `model_name` (the reference's
+    evaluate.py:41-63 hardcodes the same defaults)."""
+    from tpu_superresolution_tpu.core.config import (
+        DATConfig,
+        HATConfig,
+        SwinIRConfig,
+    )
+    from tpu_superresolution_tpu.interop import (
+        convert_dat,
+        convert_hat,
+        convert_msresunet,
+        convert_swinir,
+        load_torch_checkpoint,
+    )
+
+    sd = load_torch_checkpoint(path)
+    if model_name == "ms_resunet":
+        return MSResUNetConfig(scale=scale), convert_msresunet(sd)
+    if model_name == "swinir":
+        return SwinIRConfig(scale=scale), convert_swinir(sd, scale=scale)
+    if model_name == "hat":
+        return HATConfig(scale=scale), convert_hat(sd)
+    return DATConfig(scale=scale), convert_dat(sd)
+
+
 def build_argparser():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--scale", type=str, choices=["X2", "X4"], required=True)
     ap.add_argument("--data_root", type=str, required=True)
     ap.add_argument("--batch_size", type=int, default=4)
     ap.add_argument("--workers", type=int, default=None)
+    ap.add_argument("--model", type=str, default="ms_resunet",
+                    choices=["ms_resunet", "swinir", "hat", "dat"],
+                    help="architecture for torch .pt/.pth checkpoints "
+                         "(Orbax checkpoints carry their config and "
+                         "ignore this)")
     ap.add_argument("--ckpt", type=str, required=True,
                     help="Orbax checkpoint dir (from the train CLI)")
     ap.add_argument("--save_dir", type=str, default="preds")
@@ -53,18 +85,26 @@ def main(argv=None):
     report_devices()
     scale_int = int(args.scale[1:])
 
-    from tpu_superresolution_tpu.train.checkpoint import (
-        load_weights_only,
-        model_config_from_checkpoint,
-    )
+    if args.ckpt.endswith((".pt", ".pth")):
+        # Reference torch checkpoint (e.g. the published best_X2.pt —
+        # /root/reference/modules/evaluate.py:41-63 loads these):
+        # convert in place and evaluate directly, no retraining needed.
+        mcfg, variables = _load_torch_checkpoint(args.model, args.ckpt, scale_int)
+        model = build_model(mcfg)
+        print(f"[ckpt] {args.ckpt}: torch->flax converted, model={mcfg.name}")
+    else:
+        from tpu_superresolution_tpu.train.checkpoint import (
+            load_weights_only,
+            model_config_from_checkpoint,
+        )
 
-    mcfg = model_config_from_checkpoint(args.ckpt) or MSResUNetConfig(scale=scale_int)
-    model = build_model(mcfg)
-    restored, meta = load_weights_only(args.ckpt)
-    variables = {"params": restored["params"]}
-    if restored.get("batch_stats"):
-        variables["batch_stats"] = restored["batch_stats"]
-    print(f"[ckpt] {args.ckpt}: model={mcfg.name} epoch={meta.get('epoch')}")
+        mcfg = model_config_from_checkpoint(args.ckpt) or MSResUNetConfig(scale=scale_int)
+        model = build_model(mcfg)
+        restored, meta = load_weights_only(args.ckpt)
+        variables = {"params": restored["params"]}
+        if restored.get("batch_stats"):
+            variables["batch_stats"] = restored["batch_stats"]
+        print(f"[ckpt] {args.ckpt}: model={mcfg.name} epoch={meta.get('epoch')}")
 
     convention = "native_lr" if mcfg.upsamples_internally else "pre_upscale"
     channels = mcfg.in_channels

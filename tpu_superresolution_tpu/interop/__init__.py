@@ -1,13 +1,17 @@
 from .torch_convert import (
-    extract_state_dict,
+    convert_dat,
+    convert_hat,
     convert_msresunet,
     convert_swinir,
+    extract_state_dict,
     load_torch_checkpoint,
 )
 
 __all__ = [
-    "extract_state_dict",
+    "convert_dat",
+    "convert_hat",
     "convert_msresunet",
     "convert_swinir",
+    "extract_state_dict",
     "load_torch_checkpoint",
 ]
