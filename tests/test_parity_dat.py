@@ -49,6 +49,7 @@ def _make_pair(scale=2, img_size=16, embed_dim=32, depths=(4, 4),
         num_heads=num_heads,
         expansion_factor=expansion,
         upsampler=upsampler,
+        fused_reconstruct=False,  # exact chain border semantics
     )
     jmodel = build_model(cfg)
     variables = convert_dat(extract_state_dict(tmodel.state_dict()))

@@ -50,6 +50,7 @@ def _make_pair(scale=2, upsampler="pixelshuffle", img_size=16, window_size=4,
         upsampler=upsampler,
         resi_connection=resi_connection,
         gelu_approximate=False,  # golden parity needs torch's exact erf
+        fused_reconstruct=False,  # exact chain border semantics
     )
     jmodel = build_model(cfg)
     variables = convert_swinir(extract_state_dict(tmodel.state_dict()), scale=scale)

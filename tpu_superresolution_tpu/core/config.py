@@ -108,6 +108,10 @@ class SwinIRConfig(ModelConfig):
     # Stochastic depth, linear decay 0 -> rate over sum(depths)
     # (reference network_swinir.py:649,701); inactive at inference.
     drop_path_rate: float = 0.1
+    # Collapse the linear Upsample+conv_last chain into one conv + one
+    # pixel_shuffle (ops/fused_upsample.py; exact in the interior,
+    # <=3-output-px border ring differs).  Parity tests pin False.
+    fused_reconstruct: bool = True
 
     @property
     def upsamples_internally(self) -> bool:
@@ -142,6 +146,7 @@ class HATConfig(ModelConfig):
     patch_norm: bool = True  # LayerNorm after embed (hat_arch.py:758)
     # Stochastic depth on HAB residuals (reference hat_arch.py:755,827).
     drop_path_rate: float = 0.1
+    fused_reconstruct: bool = True  # see SwinIRConfig.fused_reconstruct
 
     @property
     def upsamples_internally(self) -> bool:
@@ -174,6 +179,7 @@ class DATConfig(ModelConfig):
     use_remat: bool = False
     # Stochastic depth on DATB residuals (reference dat_arch.py:733,771).
     drop_path_rate: float = 0.1
+    fused_reconstruct: bool = True  # see SwinIRConfig.fused_reconstruct
 
     @property
     def upsamples_internally(self) -> bool:

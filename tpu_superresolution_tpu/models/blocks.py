@@ -282,6 +282,75 @@ class PixelShuffleDirect(nn.Module):
         return pixel_shuffle(x, self.scale)
 
 
+def upsample_and_last(
+    mdl: nn.Module,
+    x: jnp.ndarray,
+    scale: int,
+    num_feat: int,
+    out_channels: int,
+    dt: Dtype,
+    fused: bool,
+) -> jnp.ndarray:
+    """The reconstruction tail shared by SwinIR/HAT/DAT's 'pixelshuffle'
+    mode: Upsample (conv->PixelShuffle chain, network_swinir.py:572-591)
+    followed by conv_last.  The chain is purely linear (no activation
+    between its convs), so with `fused=True` it is collapsed at trace
+    time into ONE low-res conv + ONE pixel_shuffle
+    (ops/fused_upsample.py) — same parameter tree, checkpoints are
+    interchangeable; exact on the interior, differs from the chain on a
+    <=3-output-px border ring the tiler feather-blends away.
+
+    Must be called from the owning module's compact __call__ (params are
+    declared on `mdl` under the usual 'upsample'/'conv_last' names).
+    """
+    import math
+
+    if not fused:
+        x = PixelShuffleUpsample(scale, num_feat, dt, name="upsample")(x)
+        return nn.Conv(
+            out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="conv_last"
+        )(x)
+
+    from tpu_superresolution_tpu.ops.fused_upsample import (
+        fused_pixelshuffle_reconstruct,
+    )
+
+    if (scale & (scale - 1)) == 0:
+        rhos = [2] * int(math.log2(scale))
+    elif scale == 3:
+        rhos = [3]
+    else:
+        raise ValueError(f"scale {scale} not supported (2^n or 3)")
+
+    lecun = nn.initializers.lecun_normal()
+
+    def _up_init(key):
+        ks = jax.random.split(key, len(rhos))
+        return {
+            f"conv_{i}": {
+                "kernel": lecun(ks[i], (3, 3, num_feat, r * r * num_feat)),
+                "bias": jnp.zeros((r * r * num_feat,), jnp.float32),
+            }
+            for i, r in enumerate(rhos)
+        }
+
+    def _last_init(key):
+        return {
+            "kernel": lecun(key, (3, 3, num_feat, out_channels)),
+            "bias": jnp.zeros((out_channels,), jnp.float32),
+        }
+
+    up = mdl.param("upsample", _up_init)
+    last = mdl.param("conv_last", _last_init)
+    stages = [
+        (up[f"conv_{i}"]["kernel"], up[f"conv_{i}"]["bias"], r)
+        for i, r in enumerate(rhos)
+    ]
+    return fused_pixelshuffle_reconstruct(
+        x, stages, (last["kernel"], last["bias"]), dtype=dt
+    )
+
+
 def check_image_size(x: jnp.ndarray, multiple: int) -> jnp.ndarray:
     """Reflect-pad H, W up to the next multiple (reference
     network_swinir.py:783-788).  Shapes are static under jit."""

@@ -38,6 +38,7 @@ from tpu_superresolution_tpu.models.blocks import (
     PixelShuffleDirect,
     PixelShuffleUpsample,
     drop_path,
+    upsample_and_last,
 )
 from tpu_superresolution_tpu.ops.window import (
     rect_shift_attn_mask,
@@ -440,9 +441,10 @@ class DAT(nn.Module):
             x = nn.Conv(cfg.num_feat, (3, 3), padding=((1, 1), (1, 1)),
                         dtype=dt, name="conv_before_upsample")(x)
             x = nn.leaky_relu(x, 0.01)
-            x = PixelShuffleUpsample(cfg.scale, cfg.num_feat, dt, name="upsample")(x)
-            x = nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                        dtype=dt, name="conv_last")(x)
+            x = upsample_and_last(
+                self, x, cfg.scale, cfg.num_feat, cfg.out_channels, dt,
+                fused=cfg.fused_reconstruct,
+            )
         elif cfg.upsampler == "pixelshuffledirect":
             x = PixelShuffleDirect(cfg.scale, cfg.out_channels, dt, name="upsample")(x)
         else:

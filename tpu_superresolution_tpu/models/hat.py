@@ -39,6 +39,7 @@ from tpu_superresolution_tpu.models.blocks import (
     MlpParams,
     PixelShuffleUpsample,
     check_image_size,
+    upsample_and_last,
     drop_path,
 )
 from tpu_superresolution_tpu.ops.window import (
@@ -172,13 +173,12 @@ class HAB(nn.Module):
         # LN2 -> MLP -> residual, hat_arch.py:287-310) runs as one Pallas
         # megakernel; the CAB conv branch is computed outside (XLA convs)
         # and rides into the kernel as the `extra` additive term.
-        # Drop-path applies to the attention residual only
-        # (hat_arch.py:307-308), which the kernel can't express — fall
-        # back to the module path when it's active.
+        # Drop-path applies to the attention residual (NOT the CAB
+        # branch, hat_arch.py:307-308) and the MLP residual; both ride
+        # into the kernel as per-sample branch_scales.
         dp_active = (not deterministic) and self.drop_path_rate > 0
         if (
             resolve_attention_impl(self.attn_impl) == "fused"
-            and not dp_active
             and h % ws == 0
             and w % ws == 0
         ):
@@ -204,12 +204,20 @@ class HAB(nn.Module):
             conv_x = CAB(self.compress_ratio, self.squeeze_factor,
                          self.dtype, name="conv_block")(ln1)
             extra = conv_x * jnp.asarray(self.conv_scale, conv_x.dtype)
+            scales = None
+            if dp_active:
+                keep = 1.0 - self.drop_path_rate
+                k1, k2 = jax.random.split(self.make_rng("drop_path"))
+                m1 = jax.random.bernoulli(k1, keep, (b,)) / keep
+                m2 = jax.random.bernoulli(k2, keep, (b,)) / keep
+                scales = jnp.stack([m1, m2], axis=1).astype(jnp.float32)
             xs = cyclic_shift(x.astype(self.dtype), shift)
             es = cyclic_shift(extra, shift)
             out = fused_swin_block(
                 xs, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
                 w1, bb1, w2, bb2, bias.astype(jnp.float32),
                 ws, mask, (c // nh) ** -0.5, False, extra=es,
+                branch_scales=scales,
             )
             return cyclic_unshift(out, shift)
 
@@ -417,9 +425,10 @@ class HAT(nn.Module):
         x = nn.Conv(cfg.num_feat, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=dt, name="conv_before_upsample")(x)
         x = nn.leaky_relu(x, 0.01)
-        x = PixelShuffleUpsample(cfg.scale, cfg.num_feat, dt, name="upsample")(x)
-        x = nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                    dtype=dt, name="conv_last")(x)
+        x = upsample_and_last(
+            self, x, cfg.scale, cfg.num_feat, cfg.out_channels, dt,
+            fused=cfg.fused_reconstruct,
+        )
 
         x = x / cfg.img_range + mean
         return x[:, : h_in * cfg.scale, : w_in * cfg.scale, :]

@@ -45,6 +45,7 @@ from tpu_superresolution_tpu.models.blocks import (
     PixelShuffleUpsample,
     check_image_size,
     drop_path,
+    upsample_and_last,
 )
 from tpu_superresolution_tpu.ops.window import (
     cyclic_shift,
@@ -193,7 +194,6 @@ class SwinBlock(nn.Module):
         dp_active = (not deterministic) and self.drop_path_rate > 0
         if (
             resolve_attention_impl(self.attn_impl) == "fused"
-            and not dp_active
             and h % ws == 0
             and w % ws == 0
         ):
@@ -213,11 +213,22 @@ class SwinBlock(nn.Module):
                 .transpose(2, 0, 1)
             )
             mask = shift_attn_mask(h, w, ws, shift) if shift > 0 else None
+            scales = None
+            if dp_active:
+                # Stochastic depth stays OUTSIDE the kernel math: sample
+                # the per-sample mask/keep multipliers here and let the
+                # kernel scale each residual branch (hat_arch.py:12-38).
+                keep = 1.0 - self.drop_path_rate
+                k1, k2 = jax.random.split(self.make_rng("drop_path"))
+                m1 = jax.random.bernoulli(k1, keep, (b,)) / keep
+                m2 = jax.random.bernoulli(k2, keep, (b,)) / keep
+                scales = jnp.stack([m1, m2], axis=1).astype(jnp.float32)
             xs = cyclic_shift(x.astype(self.dtype), shift)
             out = fused_swin_block(
                 xs, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
                 w1, bb1, w2, bb2, bias.astype(jnp.float32),
                 ws, mask, (c // nh) ** -0.5, self.gelu_approximate,
+                branch_scales=scales,
             )
             return cyclic_unshift(out, shift)
 
@@ -384,10 +395,10 @@ class SwinIR(nn.Module):
                 cfg.num_feat, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="conv_before_upsample"
             )(x)
             x = nn.leaky_relu(x, 0.01)  # torch nn.LeakyReLU default slope
-            x = PixelShuffleUpsample(cfg.scale, cfg.num_feat, dt, name="upsample")(x)
-            x = nn.Conv(
-                cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="conv_last"
-            )(x)
+            x = upsample_and_last(
+                self, x, cfg.scale, cfg.num_feat, cfg.out_channels, dt,
+                fused=cfg.fused_reconstruct,
+            )
         elif cfg.upsampler == "pixelshuffledirect":
             x = PixelShuffleDirect(cfg.scale, cfg.out_channels, dt, name="upsample")(x)
         elif cfg.upsampler == "nearest+conv":

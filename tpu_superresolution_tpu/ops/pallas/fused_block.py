@@ -64,6 +64,11 @@ def _kernel(x_ref, *refs,
             has_extra, has_mask):
     refs = list(refs)
     e_ref = refs.pop(0) if has_extra else None
+    # [B, 2] SMEM (whole array — Mosaic requires SMEM blocks be full or
+    # tile-aligned): per-sample branch scales (m1, m2), indexed by the
+    # grid's batch coordinate.
+    sc_ref = refs.pop(0)
+    bb = pl.program_id(0)
     (wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
      g1_ref, b1_ref, g2_ref, b2_ref,
      wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref, rpb_ref) = refs[:13]
@@ -114,7 +119,10 @@ def _kernel(x_ref, *refs,
         preferred_element_type=jnp.float32,
     ) + bproj_ref[:]
 
-    x1 = xf + attn
+    # Per-sample stochastic-depth scales (hat_arch.py:12-38 semantics,
+    # mask/keep in {0, 1/keep}); 1.0 at inference.  The CAB `extra` term
+    # is NOT drop-pathed in the reference (hat_arch.py:307).
+    x1 = xf + attn * sc_ref[bb, 0]
     if has_extra:
         # Caller-supplied additive term on the attention residual
         # (HAT's conv_scale * CAB branch — hat_arch.py:307-308).
@@ -132,15 +140,16 @@ def _kernel(x_ref, *refs,
         preferred_element_type=jnp.float32,
     ) + bfc2_ref[:]
 
-    out = x1 + mlp
+    out = x1 + mlp * sc_ref[bb, 1]
     o_ref[:] = out.astype(o_ref.dtype).reshape(x_ref.shape)
 
 
 def _reference_block(x, g1, b1, wqkv, bqkv, wproj, bproj,
-                     g2, b2, wfc1, bfc1, wfc2, bfc2, bias,
+                     g2, b2, wfc1, bfc1, wfc2, bfc2, bias, scales,
                      ws, mask, scale, gelu_approx, extra=None):
     """jnp composition with identical semantics (vjp + oracle).
-    x: [B, H, W, C] (already rolled)."""
+    x: [B, H, W, C] (already rolled); scales: [B, 2] per-sample
+    stochastic-depth branch multipliers (attn, mlp)."""
     from tpu_superresolution_tpu.ops.window import (
         window_partition,
         window_reverse,
@@ -150,12 +159,14 @@ def _reference_block(x, g1, b1, wqkv, bqkv, wproj, bproj,
     )
 
     b, hh, www, c = x.shape
+    m1 = scales[:, 0].astype(jnp.float32)[:, None, None, None]
+    m2 = scales[:, 1].astype(jnp.float32)[:, None, None, None]
     xf = x.astype(jnp.float32)
     y = _ln(xf, g1, b1).astype(x.dtype)
     xw = window_partition(y, ws)  # [B*nW, N, C]
     attn = _reference_impl(xw, wqkv, bqkv, wproj, bproj, bias, mask, scale)
     attn = window_reverse(attn, ws, hh, www).astype(jnp.float32)
-    x1 = xf + attn
+    x1 = xf + attn * m1
     if extra is not None:
         x1 = x1 + extra.astype(jnp.float32)
     y2 = _ln(x1, g2, b2).astype(x.dtype)
@@ -163,12 +174,12 @@ def _reference_block(x, g1, b1, wqkv, bqkv, wproj, bproj,
     h1 = h1 + bfc1.astype(x.dtype)
     h1 = _gelu(h1.astype(jnp.float32), gelu_approx).astype(x.dtype)
     mlp = h1 @ wfc2.astype(x.dtype) + bfc2.astype(x.dtype)
-    out = x1 + mlp.astype(jnp.float32)
+    out = x1 + mlp.astype(jnp.float32) * m2
     return out.astype(x.dtype)
 
 
 def _mega_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
-                  wfc1, bfc1, wfc2, bfc2, bias,
+                  wfc1, bfc1, wfc2, bfc2, bias, scales,
                   ws, mask, scale, gelu_approx, interpret, extra=None,
                   max_p=16):
     b, hh, www, c = x.shape
@@ -207,9 +218,13 @@ def _mega_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
     const = lambda *shape: (lambda bb, r, cc: tuple([0] * len(shape)))
 
     xspec = pl.BlockSpec((1, p * ws, ws, c), xmap, memory_space=pltpu.VMEM)
+    scspec = pl.BlockSpec(
+        (b, 2), lambda bb, r, cc: (0, 0), memory_space=pltpu.SMEM
+    )
     in_specs = (
         [xspec]
         + ([xspec] if extra is not None else [])
+        + [scspec]
         + [
             pl.BlockSpec((c, w.shape[1]), const(0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq.shape[1]), const(0, 0), memory_space=pltpu.VMEM),
@@ -231,6 +246,7 @@ def _mega_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
     if extra is not None:
         args.append(extra.astype(dtype))
     args += [
+        scales.astype(jnp.float32),
         w.astype(cdt), row(bq),
         wp.astype(cdt), row(bp),
         row(g1.astype(jnp.float32)), row(b1.astype(jnp.float32)),
@@ -268,7 +284,7 @@ def fused_swin_block(
     x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
     wfc1, bfc1, wfc2, bfc2, bias,
     ws, mask=None, scale=1.0, gelu_approx=True, interpret=None,
-    extra=None,
+    extra=None, branch_scales=None,
 ):
     """Full Swin transformer block on a (pre-rolled) [B, H, W, C] map.
 
@@ -281,18 +297,26 @@ def fused_swin_block(
     HAT's HAB uses it for the conv_scale-weighted CAB branch
     (hat_arch.py:307-308) so the whole hybrid block still runs as one
     Pallas program.
+
+    `branch_scales` (optional, [B, 2] fp32) multiplies the attention and
+    MLP residual branches per sample: x1 = x + s[:,0]*attn (+ extra),
+    out = x1 + s[:,1]*mlp.  Stochastic depth (hat_arch.py:12-38) passes
+    mask/keep values in {0, 1/keep} so training keeps the fused kernel;
+    None means 1.0 (inference).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if branch_scales is None:
+        branch_scales = jnp.ones((x.shape[0], 2), jnp.float32)
 
     if extra is None:
 
         @jax.custom_vjp
         def op(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
-               wfc1, bfc1, wfc2, bfc2, bias):
+               wfc1, bfc1, wfc2, bfc2, bias, scales):
             return _mega_forward(
                 x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
-                wfc1, bfc1, wfc2, bfc2, bias,
+                wfc1, bfc1, wfc2, bfc2, bias, scales,
                 ws, mask, scale, gelu_approx, interpret,
             )
 
@@ -308,14 +332,14 @@ def fused_swin_block(
 
         op.defvjp(op_fwd, op_bwd)
         return op(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
-                  wfc1, bfc1, wfc2, bfc2, bias)
+                  wfc1, bfc1, wfc2, bfc2, bias, branch_scales)
 
     @jax.custom_vjp
     def op_ex(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
-              wfc1, bfc1, wfc2, bfc2, bias, extra):
+              wfc1, bfc1, wfc2, bfc2, bias, scales, extra):
         return _mega_forward(
             x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
-            wfc1, bfc1, wfc2, bfc2, bias,
+            wfc1, bfc1, wfc2, bfc2, bias, scales,
             ws, mask, scale, gelu_approx, interpret, extra=extra,
         )
 
@@ -325,7 +349,7 @@ def fused_swin_block(
     def op_ex_bwd(res, ct):
         _, vjp = jax.vjp(
             lambda *a: _reference_block(
-                *a[:14], ws, mask, scale, gelu_approx, extra=a[14]
+                *a[:15], ws, mask, scale, gelu_approx, extra=a[15]
             ),
             *res,
         )
@@ -333,4 +357,4 @@ def fused_swin_block(
 
     op_ex.defvjp(op_ex_fwd, op_ex_bwd)
     return op_ex(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
-                 wfc1, bfc1, wfc2, bfc2, bias, extra)
+                 wfc1, bfc1, wfc2, bfc2, bias, branch_scales, extra)
