@@ -91,27 +91,45 @@ def _kernel(x_ref, *refs,
     # Window j's tokens are the contiguous rows [j*N, (j+1)*N) of the
     # flattened strip, so [T, hdp] -> [P, N, hdp] is a free sublane
     # split and each head runs ONE batched [N, N] score matmul.
+    #
+    # Softmax structure (measured v5e, 0.85 -> 0.72 ms/block): all
+    # heads' scores are stacked so max/exp run as ONE [nH,P,N,N] op,
+    # and when the head dim is padded (hd < hdp) the row sums ride the
+    # A*V matmul on the MXU instead of a VPU lane reduction — the
+    # prepared qkv bias plants a constant-1.0 column at v's first pad
+    # lane (see _mega_forward), so o_aug[..., hd] = sum_j e_ij and the
+    # normalization becomes one reciprocal + multiply.  wproj's pad
+    # rows are zero, so the un-normalized pad lanes never leak.
+    hd = c // num_heads
+    mxu_sum = hdp > hd
     koff = num_heads * hdp
     voff = 2 * koff
-    outs = []
+    ss = []
     for h in range(num_heads):
         q = qkv[:, h * hdp : (h + 1) * hdp].reshape(p, n, hdp)
         k = qkv[:, koff + h * hdp : koff + (h + 1) * hdp].reshape(p, n, hdp)
-        v = qkv[:, voff + h * hdp : voff + (h + 1) * hdp].reshape(p, n, hdp)
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [P, N, N]
-        s = s + rpb_ref[h][None]
-        if has_mask:
-            s = s + mask_ref[:, 0]
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        sm = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdt)
+        ss.append(s + rpb_ref[h][None])
+    S = jnp.stack(ss)  # [nH, P, N, N] fp32
+    if has_mask:
+        S = S + mask_ref[:, 0][None]
+    m = jnp.max(S, axis=-1, keepdims=True)
+    E = jnp.exp(S - m)
+    if not mxu_sum:
+        E = E / jnp.sum(E, axis=-1, keepdims=True)
+    E = E.astype(cdt)
+    outs = []
+    for h in range(num_heads):
+        v = qkv[:, voff + h * hdp : voff + (h + 1) * hdp].reshape(p, n, hdp)
         o = jax.lax.dot_general(
-            sm, v, (((2,), (1,)), ((0,), (0,))),
+            E[h], v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [P, N, hdp]
+        if mxu_sum:
+            o = o * (1.0 / o[:, :, hd : hd + 1])
         outs.append(o.reshape(t, hdp).astype(cdt))
     o_cat = jnp.concatenate(outs, axis=-1)  # [T, nH*hdp]
     attn = jax.lax.dot_general(
@@ -199,6 +217,16 @@ def _mega_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
     t = p * n
 
     w, bq, wp, bp, hdp = _prep_weights(wqkv, bqkv, wproj, bproj, nh, scale)
+    hd = c // nh
+    if hdp > hd:
+        # Constant-1.0 column at each head's first v pad lane: since the
+        # corresponding wqkv column is all zeros, the qkv GEMM emits 1.0
+        # there, and A @ v_aug then carries softmax row sums out of the
+        # MXU (kernel normalizes by its reciprocal).  wproj's pad rows
+        # are zero so the extra lane never reaches the output.
+        koff = nh * hdp
+        ones_cols = [2 * koff + h * hdp + hd for h in range(nh)]
+        bq = bq.at[0, np.asarray(ones_cols)].set(1.0)
 
     dtype = x.dtype
     cdt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
