@@ -247,3 +247,35 @@ def test_swinir_fused_train_drop_path_active(rng):
     y2 = m.apply(v, x, train=True, rngs={"drop_path": jax.random.key(2)})
     assert bool(jnp.isfinite(y1).all()) and bool(jnp.isfinite(y2).all())
     assert float(jnp.abs(y1 - y2).max()) > 1e-6  # different draws differ
+
+
+def test_megakernel_tpu_geometry_gate():
+    """Mosaic requires block last-two dims (8,128)-divisible or full:
+    ws=8 tiles, ws=7 must not (HAT falls back to the packed kernels,
+    whose blocks span full last-two dims)."""
+    from tpu_superresolution_tpu.ops.pallas.fused_block import (
+        megakernel_tpu_ok,
+    )
+
+    assert megakernel_tpu_ok(8, 64)
+    assert megakernel_tpu_ok(16, 64)
+    assert not megakernel_tpu_ok(7, 70)   # HAT production geometry
+    assert megakernel_tpu_ok(7, 7)        # single window column is full-dim
+    assert not megakernel_tpu_ok(4, 16)
+
+
+def test_hat_window_attention_fused_branch(rng):
+    """WindowAttentionHAT attn_impl='fused' (the ws=7 TPU fallback path:
+    qkv+attn+proj packed kernel) matches the jnp einsum path."""
+    from tpu_superresolution_tpu.models.hat import WindowAttentionHAT
+
+    b, nw, ws, c, nh = 2, 4, 7, 12, 3
+    n = ws * ws
+    x = jnp.asarray(rng.random((b, nw, n, c), dtype=np.float32))
+    mask = np.where(rng.random((nw, n, n)) > 0.8, -100.0, 0.0).astype(np.float32)
+    m1 = WindowAttentionHAT(c, ws, nh, attn_impl="jnp")
+    m2 = WindowAttentionHAT(c, ws, nh, attn_impl="fused")
+    v = m1.init(jax.random.key(0), x, mask)
+    y1 = m1.apply(v, x, mask)
+    y2 = m2.apply(v, x, mask)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=3e-5)

@@ -104,6 +104,10 @@ class WindowAttentionHAT(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask: Optional[np.ndarray] = None):
+        from tpu_superresolution_tpu.models.blocks import DenseParams
+        from tpu_superresolution_tpu.ops.pallas.fused_attention import (
+            fused_window_block_attention,
+        )
         from tpu_superresolution_tpu.ops.pallas.window_attention import (
             fused_window_attention,
             resolve_attention_impl,
@@ -112,15 +116,33 @@ class WindowAttentionHAT(nn.Module):
         b, nw, n, c = x.shape
         ws, nh = self.window_size, self.num_heads
         hd = c // nh
-        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, kernel_init=_TRUNC02,
-                       dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b, nw, n, 3, nh, hd)
-        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+        dt = self.dtype
+        wqkv, bqkv = DenseParams(
+            3 * c, kernel_init=_TRUNC02, use_bias=self.qkv_bias, name="qkv"
+        )(c)
+        wproj, bproj = DenseParams(c, kernel_init=_TRUNC02, name="proj")(c)
         table = self.param("relative_position_bias_table", _TRUNC02,
                            ((2 * ws - 1) ** 2, nh))
         rpi = relative_position_index(ws)
         bias = table[rpi.reshape(-1)].reshape(n, n, nh).transpose(2, 0, 1)
-        if resolve_attention_impl(self.attn_impl) == "pallas":
+
+        impl = resolve_attention_impl(self.attn_impl)
+        if impl == "fused":
+            # qkv + attention + proj fused (legal for any ws: the packed
+            # kernel's blocks span full last-two dims — HAB's megakernel
+            # gate falls back here when ws=7 can't tile).
+            return fused_window_block_attention(
+                x.astype(dt).reshape(b * nw, n, c),
+                wqkv, bqkv, wproj, bproj,
+                bias.astype(jnp.float32), mask, hd**-0.5,
+            ).reshape(b, nw, n, c)
+
+        qkv = x.astype(dt) @ wqkv.astype(dt)
+        if bqkv is not None:
+            qkv = qkv + bqkv.astype(dt)
+        qkv = qkv.reshape(b, nw, n, 3, nh, hd)
+        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+        if impl == "pallas":
             to_kernel = lambda t: t.reshape(b * nw, n, nh, hd).transpose(0, 2, 1, 3)
             m = jnp.asarray(mask) if mask is not None else None
             out = fused_window_attention(
@@ -135,7 +157,8 @@ class WindowAttentionHAT(nn.Module):
                 attn = attn + jnp.asarray(mask, attn.dtype)[None, :, None]
             attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
             out = jnp.einsum("bwhqk,bwkhd->bwqhd", attn, v).reshape(b, nw, n, c)
-        return nn.Dense(c, kernel_init=_TRUNC02, dtype=self.dtype, name="proj")(out)
+        out = out.astype(dt) @ wproj.astype(dt)
+        return out + bproj.astype(dt)
 
 
 class HAB(nn.Module):
@@ -176,11 +199,16 @@ class HAB(nn.Module):
         # Drop-path applies to the attention residual (NOT the CAB
         # branch, hat_arch.py:307-308) and the MLP residual; both ride
         # into the kernel as per-sample branch_scales.
+        from tpu_superresolution_tpu.ops.pallas.fused_block import (
+            megakernel_tpu_ok,
+        )
+
         dp_active = (not deterministic) and self.drop_path_rate > 0
         if (
             resolve_attention_impl(self.attn_impl) == "fused"
             and h % ws == 0
             and w % ws == 0
+            and (jax.default_backend() != "tpu" or megakernel_tpu_ok(ws, w))
         ):
             nh = self.num_heads
             wqkv, bqkv, wproj, bproj, table = AttnParams(

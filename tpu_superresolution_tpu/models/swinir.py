@@ -191,11 +191,16 @@ class SwinBlock(nn.Module):
             ws = min(h, w)
             shift = 0
 
+        from tpu_superresolution_tpu.ops.pallas.fused_block import (
+            megakernel_tpu_ok,
+        )
+
         dp_active = (not deterministic) and self.drop_path_rate > 0
         if (
             resolve_attention_impl(self.attn_impl) == "fused"
             and h % ws == 0
             and w % ws == 0
+            and (jax.default_backend() != "tpu" or megakernel_tpu_ok(ws, w))
         ):
             nh = self.num_heads
             wqkv, bqkv, wproj, bproj, table = _AttnParams(

@@ -260,23 +260,50 @@ def fused_window_block_attention(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    # Mosaic collapses [P, N, C] -> [P*N, C] inside the kernel, which
+    # needs N sublane-aligned.  HAT's ws=7 gives N=49: pad the token dim
+    # to the next multiple of 8 with -1e9 bias on the pad KEY columns so
+    # real queries ignore the dead tokens (their own output rows are
+    # garbage-but-finite and sliced off).  hat_arch.py:130-197 semantics
+    # are unchanged.
+    n = xw.shape[1]
+    npad = (-n) % 8
+    if npad:
+        xw_in = jnp.pad(xw, ((0, 0), (0, npad), (0, 0)))
+        bias_in = jnp.pad(
+            bias, ((0, 0), (0, npad), (0, npad)), constant_values=-1e9
+        )
+        mask_in = (
+            None
+            if mask is None
+            else np.pad(np.asarray(mask, np.float32),
+                        ((0, 0), (0, npad), (0, npad)))
+        )
+    else:
+        xw_in, bias_in, mask_in = xw, bias, mask
+
     @jax.custom_vjp
     def op(xw, wqkv, bqkv, wproj, bproj, bias):
         return _fused_forward(
-            xw, wqkv, bqkv, wproj, bproj, bias, mask, scale, interpret
+            xw, wqkv, bqkv, wproj, bproj, bias, mask_in, scale, interpret
         )
 
     def op_fwd(xw, wqkv, bqkv, wproj, bproj, bias):
         out = _fused_forward(
-            xw, wqkv, bqkv, wproj, bproj, bias, mask, scale, interpret
+            xw, wqkv, bqkv, wproj, bproj, bias, mask_in, scale, interpret
         )
         return out, (xw, wqkv, bqkv, wproj, bproj, bias)
 
     def op_bwd(res, ct):
         _, vjp = jax.vjp(
-            lambda *a: _reference_impl(*a, mask, scale), *res
+            lambda *a: _reference_impl(*a, mask_in, scale), *res
         )
         return vjp(ct.astype(res[0].dtype))
 
     op.defvjp(op_fwd, op_bwd)
-    return op(xw, wqkv, bqkv, wproj, bproj, bias)
+    out = op(xw_in, wqkv, bqkv, wproj, bproj, bias_in)
+    if npad:
+        # Grads w.r.t. the pad slices are dropped by the slice's own
+        # vjp; xw/bias receive exact gradients through jnp.pad's vjp.
+        out = out[:, :n, :]
+    return out

@@ -47,6 +47,18 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_superresolution_tpu.ops.pallas.fused_attention import _prep_weights
 
 
+def megakernel_tpu_ok(ws: int, w: int) -> bool:
+    """Mosaic requires a block's last two dims to be (8, 128)-divisible
+    or equal to the full array dims.  The megakernel's x block is
+    (1, p*ws, ws, C): C always equals the array dim, but the window
+    width ws must be 8-divisible unless the strip spans the whole padded
+    width (nww == 1).  SwinIR's ws=8 passes; HAT's ws=7 must fall back
+    to the window-packed kernels (whose blocks use full last-two dims).
+    Interpret mode (CPU) has no such constraint — callers gate on the
+    actual backend."""
+    return ws % 8 == 0 or w == ws
+
+
 def _ln(x32, scale, bias, eps=1e-5):
     """flax nn.LayerNorm (fast-variance) in fp32."""
     mu = jnp.mean(x32, axis=-1, keepdims=True)

@@ -118,6 +118,24 @@ def fused_window_attention(
     bw, nh, nq, hd = q.shape
     nk = k.shape[2]
 
+    # Mosaic collapses [P, Nq, hd] -> [P*Nq, hd] in-kernel, needing the
+    # token dims sublane-aligned; HAT's ws=7 gives Nq=49 (and OCAB
+    # Nk=121).  Pad tokens to multiples of 8: pad KEY columns get -1e9
+    # bias (zero softmax weight), pad QUERY rows produce garbage that is
+    # sliced off.  Semantics (hat_arch.py:130-197,393-439) unchanged.
+    nq_orig = nq
+    qpad, kpad = (-nq) % 8, (-nk) % 8
+    if qpad or kpad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, qpad), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, kpad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, kpad), (0, 0)))
+        bias = jnp.pad(
+            bias, ((0, 0), (0, qpad), (0, kpad)), constant_values=_NEG
+        )
+        if mask is not None:
+            mask = jnp.pad(mask, ((0, 0), (0, qpad), (0, kpad)))
+        nq, nk = nq + qpad, nk + kpad
+
     p = max(1, windows_per_block)
     def _vmem_ok(p):
         qkv = 3 * p * nh * max(nq, nk) * max(hd, 128) * 2  # lane-padded bf16-ish
@@ -156,7 +174,7 @@ def fused_window_attention(
             scale=scale,
         )
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(bw // p,),
         in_specs=in_specs,
@@ -166,6 +184,9 @@ def fused_window_attention(
         out_shape=jax.ShapeDtypeStruct((bw, nh, nq, hd), q.dtype),
         interpret=interpret,
     )(*args)
+    if nq != nq_orig:
+        out = out[:, :, :nq_orig, :]
+    return out
 
 
 def resolve_attention_impl(impl: str = "auto") -> str:
