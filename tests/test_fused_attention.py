@@ -279,3 +279,55 @@ def test_hat_window_attention_fused_branch(rng):
     y1 = m1.apply(v, x, mask)
     y2 = m2.apply(v, x, mask)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=3e-5)
+
+
+@pytest.mark.parametrize("with_mask,with_extra", [(False, False), (True, False), (True, True)])
+def test_megakernel_backward_matches_jnp_vjp(rng, with_mask, with_extra):
+    """The Pallas backward megakernel (_mega_backward) must produce the
+    same gradients as jax.vjp over the jnp reference composition, for
+    every input including weights, rpb bias, and the extra branch."""
+    import tpu_superresolution_tpu.ops.pallas.fused_block as fb
+
+    b, h, w, c, nh, ws = 2, 8, 8, 12, 3, 4
+    r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)
+    x = r(b, h, w, c)
+    weights = [r(c), r(c), r(c, 3 * c), r(3 * c), r(c, c), r(c),
+               r(c), r(c), r(c, 2 * c), r(2 * c), r(2 * c, c), r(c)]
+    bias = r(nh, ws * ws, ws * ws)
+    mask = None
+    if with_mask:
+        nw = (h // ws) * (w // ws)
+        mask = np.where(
+            rng.random((nw, ws * ws, ws * ws)) > 0.8, -100.0, 0.0
+        ).astype(np.float32)
+    extra = r(b, h, w, c) if with_extra else None
+    scales = jnp.asarray([[1.25, 0.0], [1.0, 1.25]], jnp.float32)
+    sc = (c // nh) ** -0.5
+
+    def run(*leaves):
+        xx = leaves[0]
+        ws_ = leaves[1:13]
+        bias_ = leaves[13]
+        ex = leaves[14] if with_extra else None
+        out = fb.fused_swin_block(
+            xx, *ws_, bias_, ws, mask, sc, False,
+            extra=ex, branch_scales=scales,
+        )
+        return jnp.sum(out * out)
+
+    leaves = [x] + weights + [bias] + ([extra] if with_extra else [])
+    argnums = tuple(range(len(leaves)))
+    # the flag is read when the custom_vjp bwd is traced, i.e. inside
+    # the jax.grad call — toggle it around each full grad computation
+    fb.KERNEL_BACKWARD = True
+    g_kern = jax.grad(run, argnums)(*leaves)
+    fb.KERNEL_BACKWARD = False
+    try:
+        g_jnp = jax.grad(run, argnums)(*leaves)
+    finally:
+        fb.KERNEL_BACKWARD = True
+    for i, (a, b_) in enumerate(zip(g_kern, g_jnp)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=2e-4, rtol=1e-3,
+            err_msg=f"grad leaf {i}",
+        )

@@ -130,12 +130,22 @@ class WindowAttentionHAT(nn.Module):
         if impl == "fused":
             # qkv + attention + proj fused (legal for any ws: the packed
             # kernel's blocks span full last-two dims — HAB's megakernel
-            # gate falls back here when ws=7 can't tile).
-            return fused_window_block_attention(
-                x.astype(dt).reshape(b * nw, n, c),
+            # gate falls back here when ws=7 can't tile).  Window count
+            # padded to a multiple of 8 so packing survives prime nW
+            # (37^2=1369 at 259x259); see WindowAttention in swinir.py.
+            nw_pad = (-nw) % 8
+            xk, mk = x, mask
+            if nw_pad:
+                xk = jnp.pad(x, ((0, 0), (0, nw_pad), (0, 0), (0, 0)))
+                if mask is not None:
+                    mk = np.pad(np.asarray(mask, np.float32),
+                                ((0, nw_pad), (0, 0), (0, 0)))
+            out = fused_window_block_attention(
+                xk.astype(dt).reshape(b * (nw + nw_pad), n, c),
                 wqkv, bqkv, wproj, bproj,
-                bias.astype(jnp.float32), mask, hd**-0.5,
-            ).reshape(b, nw, n, c)
+                bias.astype(jnp.float32), mk, hd**-0.5,
+            ).reshape(b, nw + nw_pad, n, c)
+            return out[:, :nw] if nw_pad else out
 
         qkv = x.astype(dt) @ wqkv.astype(dt)
         if bqkv is not None:

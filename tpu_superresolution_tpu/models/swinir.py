@@ -117,12 +117,26 @@ class WindowAttention(nn.Module):
 
         impl = resolve_attention_impl(self.attn_impl)
         if impl == "fused":
+            # Pad the window count to a multiple of 8 so the packed
+            # kernel can group >1 window per program even when nW has no
+            # small divisors (e.g. 37^2=1369 at HAT's 259x259); dead
+            # windows are zero tokens whose outputs are sliced off, and
+            # the mask stream is padded in step so real windows keep
+            # their own mask rows.
+            nw_pad = (-nw) % 8
+            xk, mk = x, mask
+            if nw_pad:
+                xk = jnp.pad(x, ((0, 0), (0, nw_pad), (0, 0), (0, 0)))
+                if mask is not None:
+                    mk = np.pad(np.asarray(mask, np.float32),
+                                ((0, nw_pad), (0, 0), (0, 0)))
             out = fused_window_block_attention(
-                x.astype(dt).reshape(b * nw, n, c),
+                xk.astype(dt).reshape(b * (nw + nw_pad), n, c),
                 wqkv, bqkv, wproj, bproj,
-                bias.astype(jnp.float32), mask, scale,
+                bias.astype(jnp.float32), mk, scale,
             )
-            return out.reshape(b, nw, n, c)
+            out = out.reshape(b, nw + nw_pad, n, c)
+            return out[:, :nw] if nw_pad else out
 
         qkv = x.astype(dt) @ wqkv.astype(dt)
         if bqkv is not None:

@@ -46,6 +46,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpu_superresolution_tpu.ops.pallas.fused_attention import _prep_weights
 
+# Backward pass implementation switch: True = the Pallas backward
+# megakernel (_bwd_kernel — recompute + cotangent chain per strip, all
+# in VMEM, weight grads accumulated across grid steps); False = jax.vjp
+# over the jnp reference composition (XLA autodiff — measured ~3x the
+# round-1 einsum forward because it rematerializes [nW, N, N] attention
+# tensors in HBM).
+KERNEL_BACKWARD = True
+
 
 def megakernel_tpu_ok(ws: int, w: int) -> bool:
     """Mosaic requires a block's last two dims to be (8, 128)-divisible
@@ -172,6 +180,179 @@ def _kernel(x_ref, *refs,
 
     out = x1 + mlp * sc_ref[bb, 1]
     o_ref[:] = out.astype(o_ref.dtype).reshape(x_ref.shape)
+
+
+def _gelu_grad(x, approximate):
+    """d gelu(x)/dx, matching jax.nn.gelu's two variants."""
+    if approximate:
+        c = np.sqrt(2.0 / np.pi).astype(np.float32)
+        u = c * (x + 0.044715 * x * x * x)
+        th = jnp.tanh(u)
+        sech2 = 1.0 - th * th
+        return 0.5 * (1.0 + th) + 0.5 * x * sech2 * c * (
+            1.0 + 3.0 * 0.044715 * x * x
+        )
+    inv_sqrt2 = np.float32(1.0 / np.sqrt(2.0))
+    phi = 0.5 * (1.0 + jax.lax.erf(x * inv_sqrt2))
+    pdf = jnp.exp(-0.5 * x * x) * np.float32(1.0 / np.sqrt(2.0 * np.pi))
+    return phi + x * pdf
+
+
+def _bwd_kernel(ct_ref, x_ref, *refs,
+                num_heads, hdp, ws, p, c, cdt, gelu_approx,
+                has_extra, has_mask):
+    # inputs: ct, x, [extra], scales, 13 weights, [mask]; outputs:
+    # dx, [dextra], 13 weight-grad accumulators.
+    """Backward of _kernel: recompute the forward intermediates in VMEM,
+    chain the cotangent through MLP/LN2/proj/attention/qkv/LN1, and
+    accumulate weight gradients across grid steps into constant-index
+    output blocks (zero-initialized on the first step)."""
+    refs = list(refs)
+    e_ref = refs.pop(0) if has_extra else None
+    sc_ref = refs.pop(0)
+    (wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+     g1_ref, b1_ref, g2_ref, b2_ref,
+     wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref, rpb_ref) = refs[:13]
+    refs = refs[13:]
+    mask_ref = refs.pop(0) if has_mask else None
+    outs = refs
+    dx_ref = outs.pop(0)
+    dextra_ref = outs.pop(0) if has_extra else None
+    (dw_ref, dbq_ref, dwp_ref, dbp_ref,
+     dg1_ref, db1_ref, dg2_ref, db2_ref,
+     dwfc1_ref, dbfc1_ref, dwfc2_ref, dbfc2_ref, drpb_ref) = outs
+
+    bb = pl.program_id(0)
+    first = (
+        (pl.program_id(0) == 0)
+        & (pl.program_id(1) == 0)
+        & (pl.program_id(2) == 0)
+    )
+
+    @pl.when(first)
+    def _init():
+        for r in (dw_ref, dbq_ref, dwp_ref, dbp_ref,
+                  dg1_ref, db1_ref, dg2_ref, db2_ref,
+                  dwfc1_ref, dbfc1_ref, dwfc2_ref, dbfc2_ref, drpb_ref):
+            r[...] = jnp.zeros(r.shape, r.dtype)
+
+    n = ws * ws
+    t = p * n
+    hd = c // num_heads
+    eps = 1e-5
+    m1 = sc_ref[bb, 0]
+    m2 = sc_ref[bb, 1]
+
+    def _dot(a, b_, contract, batch=((), ())):
+        return jax.lax.dot_general(
+            a, b_, (contract, batch), preferred_element_type=jnp.float32
+        )
+
+    # ---- forward recompute ----
+    xf = x_ref[:].reshape(t, c).astype(jnp.float32)
+    mu1 = jnp.mean(xf, axis=-1, keepdims=True)
+    var1 = jnp.maximum(jnp.mean(xf * xf, -1, keepdims=True) - mu1 * mu1, 0.0)
+    r1 = jax.lax.rsqrt(var1 + eps)
+    n1 = (xf - mu1) * r1
+    yc = (n1 * g1_ref[:] + b1_ref[:]).astype(cdt)
+    qkv = (_dot(yc, wqkv_ref[:], (((1,), (0,)))) + bqkv_ref[:]).astype(cdt)
+
+    koff = num_heads * hdp
+    voff = 2 * koff
+    ss = []
+    for h in range(num_heads):
+        q = qkv[:, h * hdp : (h + 1) * hdp].reshape(p, n, hdp)
+        k = qkv[:, koff + h * hdp : koff + (h + 1) * hdp].reshape(p, n, hdp)
+        s = _dot(q, k, ((2,), (2,)), ((0,), (0,)))
+        ss.append(s + rpb_ref[h][None])
+    S = jnp.stack(ss)
+    if has_mask:
+        S = S + mask_ref[:, 0][None]
+    mx = jnp.max(S, axis=-1, keepdims=True)
+    E = jnp.exp(S - mx)
+    A = E / jnp.sum(E, axis=-1, keepdims=True)  # [nH, P, N, N] fp32
+    Ac = A.astype(cdt)
+    o_parts = []
+    for h in range(num_heads):
+        v = qkv[:, voff + h * hdp : voff + (h + 1) * hdp].reshape(p, n, hdp)
+        o = _dot(Ac[h], v, ((2,), (1,)), ((0,), (0,)))
+        o_parts.append(o.reshape(t, hdp).astype(cdt))
+    o_cat = jnp.concatenate(o_parts, axis=-1)
+    attn = _dot(o_cat, wproj_ref[:], ((1,), (0,))) + bproj_ref[:]
+
+    x1 = xf + attn * m1
+    if has_extra:
+        x1 = x1 + e_ref[:].reshape(t, c).astype(jnp.float32)
+    mu2 = jnp.mean(x1, axis=-1, keepdims=True)
+    var2 = jnp.maximum(jnp.mean(x1 * x1, -1, keepdims=True) - mu2 * mu2, 0.0)
+    r2 = jax.lax.rsqrt(var2 + eps)
+    n2 = (x1 - mu2) * r2
+    y2c = (n2 * g2_ref[:] + b2_ref[:]).astype(cdt)
+    h1 = _dot(y2c, wfc1_ref[:], ((1,), (0,))) + bfc1_ref[:]
+    a_act = _gelu(h1, gelu_approx)
+    ac = a_act.astype(cdt)
+    mlp = _dot(ac, wfc2_ref[:], ((1,), (0,))) + bfc2_ref[:]
+
+    # ---- backward ----
+    ct = ct_ref[:].reshape(t, c).astype(jnp.float32)
+    dmlp = (ct * m2).astype(cdt)
+    dwfc2_ref[...] += _dot(ac, dmlp, ((0,), (0,)))
+    dbfc2_ref[...] += jnp.sum(dmlp.astype(jnp.float32), 0, keepdims=True)
+    dac = _dot(dmlp, wfc2_ref[:], ((1,), (1,)))
+    dh1 = (dac * _gelu_grad(h1, gelu_approx)).astype(cdt)
+    dwfc1_ref[...] += _dot(y2c, dh1, ((0,), (0,)))
+    dbfc1_ref[...] += jnp.sum(dh1.astype(jnp.float32), 0, keepdims=True)
+    dy2 = _dot(dh1, wfc1_ref[:], ((1,), (1,)))
+
+    dg2_ref[...] += jnp.sum(dy2 * n2, 0, keepdims=True)
+    db2_ref[...] += jnp.sum(dy2, 0, keepdims=True)
+    dyg2 = dy2 * g2_ref[:]
+    dx1 = ct + r2 * (
+        dyg2
+        - jnp.mean(dyg2, -1, keepdims=True)
+        - n2 * jnp.mean(dyg2 * n2, -1, keepdims=True)
+    )
+
+    if has_extra:
+        dextra_ref[:] = dx1.astype(dextra_ref.dtype).reshape(dextra_ref.shape)
+    dattn = (dx1 * m1).astype(cdt)
+    dwp_ref[...] += _dot(o_cat, dattn, ((0,), (0,)))
+    dbp_ref[...] += jnp.sum(dattn.astype(jnp.float32), 0, keepdims=True)
+    do_cat = _dot(dattn, wproj_ref[:], ((1,), (1,))).astype(cdt)
+
+    dq_parts, dk_parts, dv_parts = [], [], []
+    dS_all = []
+    for h in range(num_heads):
+        do = do_cat[:, h * hdp : (h + 1) * hdp].reshape(p, n, hdp)
+        v = qkv[:, voff + h * hdp : voff + (h + 1) * hdp].reshape(p, n, hdp)
+        dv = _dot(Ac[h], do, ((1,), (1,)), ((0,), (0,)))  # [P, N, hdp]
+        dA = _dot(do, v, ((2,), (2,)), ((0,), (0,)))  # [P, N, N]
+        dSh = A[h] * (dA - jnp.sum(dA * A[h], -1, keepdims=True))
+        dS_all.append(dSh)
+        dSc = dSh.astype(cdt)
+        q = qkv[:, h * hdp : (h + 1) * hdp].reshape(p, n, hdp)
+        k = qkv[:, koff + h * hdp : koff + (h + 1) * hdp].reshape(p, n, hdp)
+        dq = _dot(dSc, k, ((2,), (1,)), ((0,), (0,)))
+        dk = _dot(dSc, q, ((1,), (1,)), ((0,), (0,)))
+        dq_parts.append(dq.reshape(t, hdp).astype(cdt))
+        dk_parts.append(dk.reshape(t, hdp).astype(cdt))
+        dv_parts.append(dv.reshape(t, hdp).astype(cdt))
+    drpb_ref[...] += jnp.stack([jnp.sum(d, axis=0) for d in dS_all])
+    dqkv = jnp.concatenate(dq_parts + dk_parts + dv_parts, axis=-1)
+
+    dw_ref[...] += _dot(yc, dqkv, ((0,), (0,)))
+    dbq_ref[...] += jnp.sum(dqkv.astype(jnp.float32), 0, keepdims=True)
+    dy_tok = _dot(dqkv, wqkv_ref[:], ((1,), (1,)))
+
+    dg1_ref[...] += jnp.sum(dy_tok * n1, 0, keepdims=True)
+    db1_ref[...] += jnp.sum(dy_tok, 0, keepdims=True)
+    dyg1 = dy_tok * g1_ref[:]
+    dxf = dx1 + r1 * (
+        dyg1
+        - jnp.mean(dyg1, -1, keepdims=True)
+        - n1 * jnp.mean(dyg1 * n1, -1, keepdims=True)
+    )
+    dx_ref[:] = dxf.astype(dx_ref.dtype).reshape(dx_ref.shape)
 
 
 def _reference_block(x, g1, b1, wqkv, bqkv, wproj, bproj,
@@ -320,6 +501,144 @@ def _mega_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
     return out
 
 
+def _mega_backward(ct, x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+                   wfc1, bfc1, wfc2, bfc2, bias, scales,
+                   ws, mask, scale, gelu_approx, interpret, has_extra,
+                   extra=None, max_p=16):
+    """Pallas backward of the megakernel.  Returns grads in RAW weight
+    space, ordered like fused_swin_block's op args (+ dextra last when
+    has_extra).  The jnp-vjp path (vjp of _reference_block) costs ~3x
+    the round-1 einsum forward on TPU because XLA rematerializes the
+    [nW, N, N] attention tensors in HBM; this kernel keeps the whole
+    recompute+chain in VMEM per strip and accumulates weight grads
+    across grid steps in constant-index output blocks."""
+    b, hh, www, c = x.shape
+    nh = bias.shape[0]
+    nwh, nww = hh // ws, www // ws
+    n = ws * ws
+    p = 1
+    for cand in range(min(max_p, nwh), 0, -1):
+        if nwh % cand == 0 and cand * n <= 1024:
+            p = cand
+            break
+    nchunks = nwh // p
+
+    w, bq, wp, bp, hdp = _prep_weights(wqkv, bqkv, wproj, bproj, nh, scale)
+    hd = c // nh
+
+    dtype = x.dtype
+    cdt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+    row = lambda a: a.reshape(1, -1)
+    h2 = wfc1.shape[1]
+
+    kernel = functools.partial(
+        _bwd_kernel, num_heads=nh, hdp=hdp, ws=ws, p=p, c=c, cdt=cdt,
+        gelu_approx=gelu_approx,
+        has_extra=has_extra, has_mask=mask is not None,
+    )
+
+    grid = (b, nchunks, nww)
+    xmap = lambda bb, r, cc: (bb, r, cc, 0)
+    const = lambda nd: (lambda bb, r, cc: tuple([0] * nd))
+    xspec = pl.BlockSpec((1, p * ws, ws, c), xmap, memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(
+        shape, const(len(shape)), memory_space=pltpu.VMEM
+    )
+
+    in_specs = [xspec, xspec] + ([xspec] if has_extra else []) + [
+        full((b, 2))] + [
+        full((c, w.shape[1])), full((1, bq.shape[1])),
+        full((wp.shape[0], c)), full((1, c)),
+        full((1, c)), full((1, c)), full((1, c)), full((1, c)),
+        full(wfc1.shape), full((1, h2)),
+        full(wfc2.shape), full((1, c)),
+        full((nh, n, n)),
+    ]
+    args = [ct.astype(dtype), x] + (
+        [extra.astype(dtype)] if has_extra else []
+    ) + [
+        scales.astype(jnp.float32),
+        w.astype(cdt), row(bq),
+        wp.astype(cdt), row(bp),
+        row(g1.astype(jnp.float32)), row(b1.astype(jnp.float32)),
+        row(g2.astype(jnp.float32)), row(b2.astype(jnp.float32)),
+        wfc1.astype(cdt), row(bfc1.astype(jnp.float32)),
+        wfc2.astype(cdt), row(bfc2.astype(jnp.float32)),
+        bias.astype(jnp.float32),
+    ]
+    if mask is not None:
+        mask4 = np.asarray(mask, np.float32).reshape(nwh, nww, n, n)
+        in_specs.append(
+            pl.BlockSpec(
+                (p, 1, n, n),
+                lambda bb, r, cc: (r, cc, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(jnp.asarray(mask4))
+
+    f32 = jnp.float32
+    out_specs = [xspec] + ([xspec] if has_extra else []) + [
+        full((c, w.shape[1])), full((1, bq.shape[1])),
+        full((wp.shape[0], c)), full((1, c)),
+        full((1, c)), full((1, c)), full((1, c)), full((1, c)),
+        full(wfc1.shape), full((1, h2)),
+        full(wfc2.shape), full((1, c)),
+        full((nh, n, n)),
+    ]
+    out_shape = (
+        [jax.ShapeDtypeStruct(x.shape, dtype)]
+        + ([jax.ShapeDtypeStruct(x.shape, dtype)] if has_extra else [])
+        + [
+            jax.ShapeDtypeStruct((c, w.shape[1]), f32),
+            jax.ShapeDtypeStruct((1, bq.shape[1]), f32),
+            jax.ShapeDtypeStruct((wp.shape[0], c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct(wfc1.shape, f32),
+            jax.ShapeDtypeStruct((1, h2), f32),
+            jax.ShapeDtypeStruct(wfc2.shape, f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((nh, n, n), f32),
+        ]
+    )
+
+    res = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*args)
+
+    res = list(res)
+    dx = res.pop(0)
+    dextra = res.pop(0) if has_extra else None
+    (dw, dbq, dwp, dbp, dg1, db1, dg2, db2,
+     dwfc1, dbfc1, dwfc2, dbfc2, drpb) = res
+    # branch_scales are stochastic-depth bernoulli draws, never
+    # parameters — their (unused) cotangent is returned as zeros.
+    dsc = jnp.zeros((b, 2), f32)
+
+    # prepped -> raw weight space (q pre-scale and head-dim padding)
+    dw4 = dw.reshape(c, 3, nh, hdp)[..., :hd]
+    dw4 = dw4.at[:, 0].multiply(scale)
+    dwqkv = dw4.reshape(c, 3 * c)
+    dbq3 = dbq.reshape(3, nh, hdp)[..., :hd]
+    dbq3 = dbq3.at[0].multiply(scale)
+    dbqkv = dbq3.reshape(3 * c)
+    dwproj = dwp.reshape(nh, hdp, c)[:, :hd].reshape(c, c)
+    grads = (
+        dx, dg1[0], db1[0], dwqkv, dbqkv, dwproj, dbp[0],
+        dg2[0], db2[0], dwfc1, dbfc1[0], dwfc2, dbfc2[0], drpb, dsc,
+    )
+    return grads + ((dextra,) if has_extra else ())
+
+
 def fused_swin_block(
     x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
     wfc1, bfc1, wfc2, bfc2, bias,
@@ -364,6 +683,11 @@ def fused_swin_block(
             return op(*args), args
 
         def op_bwd(res, ct):
+            if KERNEL_BACKWARD and res[4] is not None:
+                return _mega_backward(
+                    ct, *res, ws, mask, scale, gelu_approx, interpret,
+                    has_extra=False,
+                )
             _, vjp = jax.vjp(
                 lambda *a: _reference_block(*a, ws, mask, scale, gelu_approx),
                 *res,
@@ -387,6 +711,11 @@ def fused_swin_block(
         return op_ex(*args), args
 
     def op_ex_bwd(res, ct):
+        if KERNEL_BACKWARD and res[4] is not None:
+            return _mega_backward(
+                ct, *res[:15], ws, mask, scale, gelu_approx, interpret,
+                has_extra=True, extra=res[15],
+            )
         _, vjp = jax.vjp(
             lambda *a: _reference_block(
                 *a[:15], ws, mask, scale, gelu_approx, extra=a[15]

@@ -136,6 +136,19 @@ def fused_window_attention(
             mask = jnp.pad(mask, ((0, 0), (0, qpad), (0, kpad)))
         nq, nk = nq + qpad, nk + kpad
 
+    # When unmasked, also pad the window-count dim to a multiple of 8 so
+    # the packing loop never degrades to p=1 on prime window counts
+    # (OCAB at 259x259 has 37^2=1369 windows).  Dead windows are zero
+    # tokens; their outputs are sliced off.  Masked calls must be padded
+    # by the caller (per-image mask phase must stay aligned).
+    bw_orig = bw
+    bwpad = (-bw) % 8 if mask is None else 0
+    if bwpad:
+        q = jnp.pad(q, ((0, bwpad), (0, 0), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, bwpad), (0, 0), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, bwpad), (0, 0), (0, 0), (0, 0)))
+        bw += bwpad
+
     p = max(1, windows_per_block)
     def _vmem_ok(p):
         qkv = 3 * p * nh * max(nq, nk) * max(hd, 128) * 2  # lane-padded bf16-ish
@@ -184,6 +197,8 @@ def fused_window_attention(
         out_shape=jax.ShapeDtypeStruct((bw, nh, nq, hd), q.dtype),
         interpret=interpret,
     )(*args)
+    if bwpad:
+        out = out[:bw_orig]
     if nq != nq_orig:
         out = out[:, :, :nq_orig, :]
     return out
