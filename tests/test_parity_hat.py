@@ -54,6 +54,7 @@ def _make_pair(scale=2, img_size=16, window_size=4, embed_dim=24,
         squeeze_factor=squeeze_factor,
         mlp_ratio=2.0,
         fused_reconstruct=False,  # exact chain border semantics
+        gelu_approximate=False,  # golden parity needs torch's exact erf
     )
     jmodel = build_model(cfg)
     variables = convert_hat(extract_state_dict(tmodel.state_dict()))

@@ -147,6 +147,10 @@ class HATConfig(ModelConfig):
     # Stochastic depth on HAB residuals (reference hat_arch.py:755,827).
     drop_path_rate: float = 0.1
     fused_reconstruct: bool = True  # see SwinIRConfig.fused_reconstruct
+    # tanh-gelu production default (same rationale as SwinIRConfig:
+    # measured below the bf16 floor there); parity tests pin False
+    # (torch nn.GELU is exact erf — hat_arch.py uses the default).
+    gelu_approximate: bool = True
 
     @property
     def upsamples_internally(self) -> bool:

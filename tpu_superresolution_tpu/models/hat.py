@@ -185,6 +185,7 @@ class HAB(nn.Module):
     qkv_bias: bool
     drop_path_rate: float = 0.0
     attn_impl: str = "auto"
+    gelu_approximate: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -254,8 +255,8 @@ class HAB(nn.Module):
             out = fused_swin_block(
                 xs, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
                 w1, bb1, w2, bb2, bias.astype(jnp.float32),
-                ws, mask, (c // nh) ** -0.5, False, extra=es,
-                branch_scales=scales,
+                ws, mask, (c // nh) ** -0.5, self.gelu_approximate,
+                extra=es, branch_scales=scales,
             )
             return cyclic_unshift(out, shift)
 
@@ -281,7 +282,8 @@ class HAB(nn.Module):
         attn_x = drop_path(attn_x, self.drop_path_rate, rng is None, rng)
         x = shortcut + attn_x + conv_x * jnp.asarray(self.conv_scale, x.dtype)
         y = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm2")(x)
-        y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype, name="mlp")(y)
+        y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype,
+                gelu_approximate=self.gelu_approximate, name="mlp")(y)
         rng2 = self.make_rng("drop_path") if use_dp else None
         return x + drop_path(y, self.drop_path_rate, rng2 is None, rng2)
 
@@ -315,6 +317,7 @@ class OCAB(nn.Module):
     qkv_bias: bool
     mlp_ratio: float = 2.0
     attn_impl: str = "auto"
+    gelu_approximate: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -368,7 +371,8 @@ class OCAB(nn.Module):
         out = nn.Dense(c, kernel_init=_TRUNC02, dtype=self.dtype, name="proj")(out)
         x = out + shortcut
         y = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm2")(x)
-        y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype, name="mlp")(y)
+        y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype,
+                gelu_approximate=self.gelu_approximate, name="mlp")(y)
         return x + y
 
 
@@ -390,6 +394,7 @@ class RHAG(nn.Module):
     resi_connection: str = "1conv"
     use_remat: bool = False
     attn_impl: str = "auto"
+    gelu_approximate: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -403,12 +408,13 @@ class RHAG(nn.Module):
                 self.compress_ratio, self.squeeze_factor, self.conv_scale,
                 self.mlp_ratio, self.qkv_bias,
                 self.drop_path_rates[j] if self.drop_path_rates else 0.0,
-                self.attn_impl, self.dtype,
+                self.attn_impl, self.gelu_approximate, self.dtype,
                 name=f"blocks_{j}",
             )(x, deterministic)
         x = OCAB(self.dim, self.window_size, self.overlap_ratio,
                  self.num_heads, self.qkv_bias, self.mlp_ratio,
-                 self.attn_impl, self.dtype, name="overlap_attn")(x)
+                 self.attn_impl, self.gelu_approximate, self.dtype,
+                 name="overlap_attn")(x)
         if self.resi_connection == "1conv":
             x = nn.Conv(self.dim, (3, 3), padding=((1, 1), (1, 1)),
                         dtype=self.dtype, name="conv")(x)
@@ -449,7 +455,8 @@ class HAT(nn.Module):
                 cfg.compress_ratio, cfg.squeeze_factor, cfg.conv_scale,
                 cfg.overlap_ratio, cfg.mlp_ratio, cfg.qkv_bias,
                 tuple(dpr[start : start + depth]),
-                cfg.resi_connection, cfg.use_remat, cfg.attention_impl, dt,
+                cfg.resi_connection, cfg.use_remat, cfg.attention_impl,
+                cfg.gelu_approximate, dt,
                 name=f"layers_{i}",
             )(feats, deterministic=not train)
             start += depth

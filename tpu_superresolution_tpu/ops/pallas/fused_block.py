@@ -75,8 +75,26 @@ def _ln(x32, scale, bias, eps=1e-5):
     return (x32 - mu) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
+def _erf_poly(x):
+    """erf via Abramowitz&Stegun 7.1.26 (|eps| <= 1.5e-7 — below fp32
+    noise at gelu scale).  Mosaic implements neither erf nor erfc, so
+    the exact-gelu path inside TPU kernels uses this polynomial; the
+    interpret/CPU result is within parity-test tolerance (3e-5) of
+    jax.nn.gelu(approximate=False)."""
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    e = 1.0 - poly * jnp.exp(-a * a)
+    return jnp.sign(x) * e
+
+
 def _gelu(x, approximate):
-    return jax.nn.gelu(x, approximate=approximate)
+    if approximate:
+        return jax.nn.gelu(x, approximate=True)
+    return x * 0.5 * (1.0 + _erf_poly(x * np.float32(0.7071067811865476)))
 
 
 def _kernel(x_ref, *refs,
@@ -193,7 +211,7 @@ def _gelu_grad(x, approximate):
             1.0 + 3.0 * 0.044715 * x * x
         )
     inv_sqrt2 = np.float32(1.0 / np.sqrt(2.0))
-    phi = 0.5 * (1.0 + jax.lax.erf(x * inv_sqrt2))
+    phi = 0.5 * (1.0 + _erf_poly(x * inv_sqrt2))
     pdf = jnp.exp(-0.5 * x * x) * np.float32(1.0 / np.sqrt(2.0 * np.pi))
     return phi + x * pdf
 
