@@ -105,8 +105,10 @@ def test_swinir_fused_impl_matches_jnp(rng):
     from tpu_superresolution_tpu.core.config import SwinIRConfig, build_model
 
     def cfg(impl):
+        # ws=8 keeps the STRIP megakernel geometry (ws%8==0); HAT tests
+        # below cover the packed-window fallback geometry (ws=4)
         return SwinIRConfig(
-            scale=2, img_size=16, window_size=4, embed_dim=12, depths=(2, 2),
+            scale=2, img_size=16, window_size=8, embed_dim=12, depths=(2, 2),
             num_heads=(2, 2), upsampler="pixelshuffledirect",
             attention_impl=impl,
         )
@@ -127,7 +129,7 @@ def test_swinir_fused_impl_grads(rng):
 
     def cfg(impl):
         return SwinIRConfig(
-            scale=2, img_size=16, window_size=4, embed_dim=12, depths=(2,),
+            scale=2, img_size=16, window_size=8, embed_dim=12, depths=(2,),
             num_heads=(2,), upsampler="pixelshuffledirect",
             attention_impl=impl,
         )
@@ -236,7 +238,7 @@ def test_swinir_fused_train_drop_path_active(rng):
     from tpu_superresolution_tpu.core.config import SwinIRConfig, build_model
 
     cfg = SwinIRConfig(
-        scale=2, img_size=16, window_size=4, embed_dim=12, depths=(2,),
+        scale=2, img_size=16, window_size=8, embed_dim=12, depths=(2,),
         num_heads=(2,), upsampler="pixelshuffledirect",
         attention_impl="fused", drop_path_rate=0.5,
     )
@@ -331,3 +333,102 @@ def test_megakernel_backward_matches_jnp_vjp(rng, with_mask, with_extra):
             np.asarray(a), np.asarray(b_), atol=2e-4, rtol=1e-3,
             err_msg=f"grad leaf {i}",
         )
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_packed_megakernel_matches_reference(rng, with_mask):
+    """fused_packed_windows_block (the ws=7 HAB path) matches the jnp
+    packed reference, including window-count grouping and mask stream."""
+    from tpu_superresolution_tpu.ops.pallas.fused_block import (
+        _reference_packed,
+        fused_packed_windows_block,
+    )
+
+    b, nwpad, n, c, nh = 2, 16, 16, 12, 3
+    r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)
+    x = r(b * nwpad, n, c)
+    weights = [r(c), r(c), r(c, 3 * c), r(3 * c), r(c, c), r(c),
+               r(c), r(c), r(c, 2 * c), r(2 * c), r(2 * c, c), r(c)]
+    bias = r(nh, n, n)
+    mask = None
+    if with_mask:
+        mask = np.where(
+            rng.random((nwpad, n, n)) > 0.8, -100.0, 0.0
+        ).astype(np.float32)
+    extra = r(b * nwpad, n, c)
+    scales = jnp.asarray([[1.25, 0.0], [1.0, 1.25]], jnp.float32)
+    sc = (c // nh) ** -0.5
+    out = fused_packed_windows_block(
+        x, *weights, bias, mask, sc, False,
+        extra=extra, branch_scales=scales,
+    )
+    ref = _reference_packed(
+        x, *weights, bias, scales, mask, sc, False, extra=extra
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_packed_megakernel_backward_matches_jnp(rng):
+    """Packed backward kernel grads == jnp vjp grads."""
+    import tpu_superresolution_tpu.ops.pallas.fused_block as fb
+
+    b, nwpad, n, c, nh = 2, 8, 16, 12, 3
+    r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)
+    x = r(b * nwpad, n, c)
+    weights = [r(c), r(c), r(c, 3 * c), r(3 * c), r(c, c), r(c),
+               r(c), r(c), r(c, 2 * c), r(2 * c), r(2 * c, c), r(c)]
+    bias = r(nh, n, n)
+    mask = np.where(
+        rng.random((nwpad, n, n)) > 0.8, -100.0, 0.0
+    ).astype(np.float32)
+    extra = r(b * nwpad, n, c)
+    scales = jnp.asarray([[1.0, 1.25], [1.25, 1.0]], jnp.float32)
+    sc = (c // nh) ** -0.5
+
+    def run(*leaves):
+        out = fb.fused_packed_windows_block(
+            leaves[0], *leaves[1:13], leaves[13], mask, sc, False,
+            extra=leaves[14], branch_scales=scales,
+        )
+        return jnp.sum(out * out)
+
+    leaves = [x] + weights + [bias, extra]
+    argnums = tuple(range(len(leaves)))
+    fb.KERNEL_BACKWARD = True
+    g_kern = jax.grad(run, argnums)(*leaves)
+    fb.KERNEL_BACKWARD = False
+    try:
+        g_jnp = jax.grad(run, argnums)(*leaves)
+    finally:
+        fb.KERNEL_BACKWARD = True
+    for i, (a, b_) in enumerate(zip(g_kern, g_jnp)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=2e-4, rtol=1e-3,
+            err_msg=f"grad leaf {i}",
+        )
+
+
+def test_hat_packed_path_matches_module(rng):
+    """The packed-window HAB path (any geometry the strip megakernel
+    can't tile, e.g. ws=7 in production or ws=4 here) must match the
+    jnp module path on the full HAT forward."""
+    from tpu_superresolution_tpu.core.config import HATConfig, build_model
+
+    def cfg(impl):
+        return HATConfig(
+            scale=2, img_size=16, window_size=4, embed_dim=12,
+            depths=(2, 2), num_heads=(2, 2), overlap_ratio=0.5,
+            compress_ratio=3, squeeze_factor=4, mlp_ratio=2.0,
+            attention_impl=impl, drop_path_rate=0.0,
+            gelu_approximate=False, fused_reconstruct=False,
+        )
+
+    x = jnp.asarray(rng.random((1, 20, 16, 3), dtype=np.float32))
+    m1 = build_model(cfg("jnp"))
+    m2 = build_model(cfg("fused"))
+    v = m1.init(jax.random.key(0), x, train=False)
+    y1 = m1.apply(v, x, train=False)
+    # ws=4 fails megakernel_tpu_ok (4 % 8 != 0, multi-column), so the
+    # fused impl routes HAB through the packed-window megakernel
+    y2 = m2.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=3e-5)

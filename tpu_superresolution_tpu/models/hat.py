@@ -192,6 +192,7 @@ class HAB(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         from tpu_superresolution_tpu.ops.pallas.fused_block import (
             _ln,
+            fused_packed_windows_block,
             fused_swin_block,
         )
         from tpu_superresolution_tpu.ops.pallas.window_attention import (
@@ -219,7 +220,6 @@ class HAB(nn.Module):
             resolve_attention_impl(self.attn_impl) == "fused"
             and h % ws == 0
             and w % ws == 0
-            and (jax.default_backend() != "tpu" or megakernel_tpu_ok(ws, w))
         ):
             nh = self.num_heads
             wqkv, bqkv, wproj, bproj, table = AttnParams(
@@ -252,12 +252,48 @@ class HAB(nn.Module):
                 scales = jnp.stack([m1, m2], axis=1).astype(jnp.float32)
             xs = cyclic_shift(x.astype(self.dtype), shift)
             es = cyclic_shift(extra, shift)
-            out = fused_swin_block(
-                xs, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
-                w1, bb1, w2, bb2, bias.astype(jnp.float32),
-                ws, mask, (c // nh) ** -0.5, self.gelu_approximate,
-                extra=es, branch_scales=scales,
+            wargs = (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+                     w1, bb1, w2, bb2)
+            if megakernel_tpu_ok(ws, w):
+                out = fused_swin_block(
+                    xs, *wargs, bias.astype(jnp.float32),
+                    ws, mask, (c // nh) ** -0.5, self.gelu_approximate,
+                    extra=es, branch_scales=scales,
+                )
+                return cyclic_unshift(out, shift)
+            # Packed-window megakernel: ws can't tile as strips on
+            # Mosaic (megakernel_tpu_ok) — partition/pad in XLA, run
+            # the whole block per G-window group in one Pallas program.
+            n = ws * ws
+            npad = (-n) % 8
+            nW = (h // ws) * (w // ws)
+            wpad = (-nW) % 8
+            xw = window_partition(xs, ws).reshape(b, nW, n, c)
+            ew = window_partition(es, ws).reshape(b, nW, n, c)
+            if wpad or npad:
+                pads = ((0, 0), (0, wpad), (0, npad), (0, 0))
+                xw = jnp.pad(xw, pads)
+                ew = jnp.pad(ew, pads)
+            bias_p = jnp.pad(
+                bias.astype(jnp.float32),
+                ((0, 0), (0, npad), (0, npad)), constant_values=-1e9,
             )
+            mask_p = None
+            if mask is not None:
+                mask_p = np.pad(
+                    np.asarray(mask, np.float32),
+                    ((0, wpad), (0, npad), (0, npad)),
+                )
+            if scales is None:
+                scales = jnp.ones((b, 2), jnp.float32)
+            out = fused_packed_windows_block(
+                xw.reshape(b * (nW + wpad), n + npad, c), *wargs, bias_p,
+                mask_p, (c // nh) ** -0.5, self.gelu_approximate,
+                extra=ew.reshape(b * (nW + wpad), n + npad, c),
+                branch_scales=scales,
+            )
+            out = out.reshape(b, nW + wpad, n + npad, c)[:, :nW, :n]
+            out = window_reverse(out.reshape(b * nW, n, c), ws, h, w)
             return cyclic_unshift(out, shift)
 
         shortcut = x

@@ -214,7 +214,7 @@ class SwinBlock(nn.Module):
             resolve_attention_impl(self.attn_impl) == "fused"
             and h % ws == 0
             and w % ws == 0
-            and (jax.default_backend() != "tpu" or megakernel_tpu_ok(ws, w))
+            and megakernel_tpu_ok(ws, w)
         ):
             nh = self.num_heads
             wqkv, bqkv, wproj, bproj, table = _AttnParams(

@@ -99,21 +99,31 @@ def _gelu(x, approximate):
 
 def _kernel(x_ref, *refs,
             num_heads, hdp, ws, p, c, cdt, gelu_approx,
-            has_extra, has_mask):
+            has_extra, has_mask, n=None, sample_blocks=0):
+    # Strip mode (default): blocks are (1, p*ws, ws, C) vertical strips,
+    # grid (B, nchunks, nww), mask blocks (p, 1, n, n).  Packed mode
+    # (n given, sample_blocks>0): blocks are (G, n, C) pre-partitioned
+    # windows, 1-D grid over window blocks, mask blocks (G, n, n), and
+    # the sample index is block_id // sample_blocks.
     refs = list(refs)
     e_ref = refs.pop(0) if has_extra else None
     # [B, 2] SMEM (whole array — Mosaic requires SMEM blocks be full or
     # tile-aligned): per-sample branch scales (m1, m2), indexed by the
     # grid's batch coordinate.
     sc_ref = refs.pop(0)
-    bb = pl.program_id(0)
+    bb = (
+        pl.program_id(0)
+        if sample_blocks == 0
+        else pl.program_id(0) // sample_blocks
+    )
     (wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
      g1_ref, b1_ref, g2_ref, b2_ref,
      wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref, rpb_ref) = refs[:13]
     mask_ref = refs[13] if has_mask else None
     o_ref = refs[-1]
 
-    n = ws * ws
+    if n is None:
+        n = ws * ws
     t = p * n
     xf = x_ref[:].reshape(t, c).astype(jnp.float32)
 
@@ -153,7 +163,8 @@ def _kernel(x_ref, *refs,
         ss.append(s + rpb_ref[h][None])
     S = jnp.stack(ss)  # [nH, P, N, N] fp32
     if has_mask:
-        S = S + mask_ref[:, 0][None]
+        mterm = mask_ref[:] if sample_blocks else mask_ref[:, 0]
+        S = S + mterm[None]
     m = jnp.max(S, axis=-1, keepdims=True)
     E = jnp.exp(S - m)
     if not mxu_sum:
@@ -218,7 +229,8 @@ def _gelu_grad(x, approximate):
 
 def _bwd_kernel(ct_ref, x_ref, *refs,
                 num_heads, hdp, ws, p, c, cdt, gelu_approx,
-                has_extra, has_mask):
+                has_extra, has_mask, n=None, sample_blocks=0,
+                grid_rank=3):
     # inputs: ct, x, [extra], scales, 13 weights, [mask]; outputs:
     # dx, [dextra], 13 weight-grad accumulators.
     """Backward of _kernel: recompute the forward intermediates in VMEM,
@@ -240,12 +252,14 @@ def _bwd_kernel(ct_ref, x_ref, *refs,
      dg1_ref, db1_ref, dg2_ref, db2_ref,
      dwfc1_ref, dbfc1_ref, dwfc2_ref, dbfc2_ref, drpb_ref) = outs
 
-    bb = pl.program_id(0)
-    first = (
-        (pl.program_id(0) == 0)
-        & (pl.program_id(1) == 0)
-        & (pl.program_id(2) == 0)
+    bb = (
+        pl.program_id(0)
+        if sample_blocks == 0
+        else pl.program_id(0) // sample_blocks
     )
+    first = pl.program_id(0) == 0
+    for d in range(1, grid_rank):
+        first = first & (pl.program_id(d) == 0)
 
     @pl.when(first)
     def _init():
@@ -254,7 +268,8 @@ def _bwd_kernel(ct_ref, x_ref, *refs,
                   dwfc1_ref, dbfc1_ref, dwfc2_ref, dbfc2_ref, drpb_ref):
             r[...] = jnp.zeros(r.shape, r.dtype)
 
-    n = ws * ws
+    if n is None:
+        n = ws * ws
     t = p * n
     hd = c // num_heads
     eps = 1e-5
@@ -285,7 +300,8 @@ def _bwd_kernel(ct_ref, x_ref, *refs,
         ss.append(s + rpb_ref[h][None])
     S = jnp.stack(ss)
     if has_mask:
-        S = S + mask_ref[:, 0][None]
+        mterm = mask_ref[:] if sample_blocks else mask_ref[:, 0]
+        S = S + mterm[None]
     mx = jnp.max(S, axis=-1, keepdims=True)
     E = jnp.exp(S - mx)
     A = E / jnp.sum(E, axis=-1, keepdims=True)  # [nH, P, N, N] fp32
@@ -737,6 +753,314 @@ def fused_swin_block(
         _, vjp = jax.vjp(
             lambda *a: _reference_block(
                 *a[:15], ws, mask, scale, gelu_approx, extra=a[15]
+            ),
+            *res,
+        )
+        return vjp(ct.astype(res[0].dtype))
+
+    op_ex.defvjp(op_ex_fwd, op_ex_bwd)
+    return op_ex(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+                 wfc1, bfc1, wfc2, bfc2, bias, branch_scales, extra)
+
+
+# ---------------------------------------------------------------------------
+# Packed-window megakernel: same fused block (LN1 -> qkv -> masked window
+# attention -> proj -> residual(+extra) -> LN2 -> MLP -> residual) on
+# PRE-PARTITIONED window tokens [B*nWpad, N, C].  This is the path for
+# window sizes whose strips cannot tile on Mosaic (HAT's ws=7 — see
+# megakernel_tpu_ok): the caller pays XLA window_partition/reverse and
+# token/window padding, but every elementwise/GEMM stage of the block
+# still runs in one Pallas program per G-window block.
+# ---------------------------------------------------------------------------
+
+
+def _reference_packed(x, g1, b1, wqkv, bqkv, wproj, bproj,
+                      g2, b2, wfc1, bfc1, wfc2, bfc2, bias, scales,
+                      mask, scale, gelu_approx, extra=None):
+    """jnp oracle/vjp for the packed megakernel.  x: [B*nWpad, N, C];
+    scales [B, 2] broadcast per image (nWpad = bw // B)."""
+    from tpu_superresolution_tpu.ops.pallas.fused_attention import (
+        _reference_impl,
+    )
+
+    bw, n, c = x.shape
+    b = scales.shape[0]
+    nwpad = bw // b
+    m1 = jnp.repeat(scales[:, 0], nwpad)[:, None, None].astype(jnp.float32)
+    m2 = jnp.repeat(scales[:, 1], nwpad)[:, None, None].astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    y = _ln(xf, g1, b1).astype(x.dtype)
+    attn = _reference_impl(
+        y, wqkv, bqkv, wproj, bproj, bias, mask, scale
+    ).astype(jnp.float32)
+    x1 = xf + attn * m1
+    if extra is not None:
+        x1 = x1 + extra.astype(jnp.float32)
+    y2 = _ln(x1, g2, b2).astype(x.dtype)
+    h1 = y2 @ wfc1.astype(x.dtype) + bfc1.astype(x.dtype)
+    h1 = _gelu(h1.astype(jnp.float32), gelu_approx).astype(x.dtype)
+    mlp = h1 @ wfc2.astype(x.dtype) + bfc2.astype(x.dtype)
+    out = x1 + mlp.astype(jnp.float32) * m2
+    return out.astype(x.dtype)
+
+
+def _packed_specs(bw, n, c, b, group, mask, w, bq, wp, wfc1, wfc2, nh):
+    nwpad = bw // b
+    sample_blocks = nwpad // group
+    grid = (bw // group,)
+    xspec = pl.BlockSpec(
+        (group, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    scspec = pl.BlockSpec(
+        (b, 2), lambda i: (0, 0), memory_space=pltpu.SMEM
+    )
+    full = lambda shape: pl.BlockSpec(
+        shape, (lambda i: tuple([0] * len(shape))), memory_space=pltpu.VMEM
+    )
+    wspecs = [
+        full((c, w.shape[1])), full((1, bq.shape[1])),
+        full((wp.shape[0], c)), full((1, c)),
+        full((1, c)), full((1, c)), full((1, c)), full((1, c)),
+        full(wfc1.shape), full((1, wfc1.shape[1])),
+        full(wfc2.shape), full((1, c)),
+        full((nh, n, n)),
+    ]
+    mspec = None
+    if mask is not None:
+        mspec = pl.BlockSpec(
+            (group, n, n),
+            lambda i: (i % sample_blocks, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    return grid, xspec, scspec, wspecs, mspec, sample_blocks, full
+
+
+def _packed_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+                    wfc1, bfc1, wfc2, bfc2, bias, scales,
+                    mask, scale, gelu_approx, interpret, extra=None,
+                    group=8):
+    bw, n, c = x.shape
+    b = scales.shape[0]
+    nh = bias.shape[0]
+    w, bq, wp, bp, hdp = _prep_weights(wqkv, bqkv, wproj, bproj, nh, scale)
+    hd = c // nh
+    if hdp > hd:
+        koff = nh * hdp
+        ones_cols = [2 * koff + h * hdp + hd for h in range(nh)]
+        bq = bq.at[0, np.asarray(ones_cols)].set(1.0)
+
+    dtype = x.dtype
+    cdt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+    row = lambda a: a.reshape(1, -1)
+    grid, xspec, scspec, wspecs, mspec, sample_blocks, _ = _packed_specs(
+        bw, n, c, b, group, mask, w, bq, wp, wfc1, wfc2, nh
+    )
+    kernel = functools.partial(
+        _kernel, num_heads=nh, hdp=hdp, ws=0, p=group, c=c, cdt=cdt,
+        gelu_approx=gelu_approx,
+        has_extra=extra is not None, has_mask=mask is not None,
+        n=n, sample_blocks=sample_blocks,
+    )
+    in_specs = (
+        [xspec]
+        + ([xspec] if extra is not None else [])
+        + [scspec]
+        + wspecs
+    )
+    args = [x]
+    if extra is not None:
+        args.append(extra.astype(dtype))
+    args += [
+        scales.astype(jnp.float32),
+        w.astype(cdt), row(bq),
+        wp.astype(cdt), row(bp),
+        row(g1.astype(jnp.float32)), row(b1.astype(jnp.float32)),
+        row(g2.astype(jnp.float32)), row(b2.astype(jnp.float32)),
+        wfc1.astype(cdt), row(bfc1.astype(jnp.float32)),
+        wfc2.astype(cdt), row(bfc2.astype(jnp.float32)),
+        bias.astype(jnp.float32),
+    ]
+    if mask is not None:
+        in_specs.append(mspec)
+        args.append(jnp.asarray(np.asarray(mask, np.float32)))
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, dtype),
+        interpret=interpret,
+    )(*args)
+
+
+def _packed_backward(ct, x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+                     wfc1, bfc1, wfc2, bfc2, bias, scales,
+                     mask, scale, gelu_approx, interpret, has_extra,
+                     extra=None, group=8):
+    bw, n, c = x.shape
+    b = scales.shape[0]
+    nh = bias.shape[0]
+    w, bq, wp, bp, hdp = _prep_weights(wqkv, bqkv, wproj, bproj, nh, scale)
+    hd = c // nh
+    dtype = x.dtype
+    cdt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+    row = lambda a: a.reshape(1, -1)
+    h2 = wfc1.shape[1]
+    grid, xspec, scspec, wspecs, mspec, sample_blocks, full = _packed_specs(
+        bw, n, c, b, group, mask, w, bq, wp, wfc1, wfc2, nh
+    )
+    kernel = functools.partial(
+        _bwd_kernel, num_heads=nh, hdp=hdp, ws=0, p=group, c=c, cdt=cdt,
+        gelu_approx=gelu_approx,
+        has_extra=has_extra, has_mask=mask is not None,
+        n=n, sample_blocks=sample_blocks, grid_rank=1,
+    )
+    in_specs = [xspec, xspec] + ([xspec] if has_extra else []) + [
+        scspec
+    ] + wspecs
+    args = [ct.astype(dtype), x] + (
+        [extra.astype(dtype)] if has_extra else []
+    ) + [
+        scales.astype(jnp.float32),
+        w.astype(cdt), row(bq),
+        wp.astype(cdt), row(bp),
+        row(g1.astype(jnp.float32)), row(b1.astype(jnp.float32)),
+        row(g2.astype(jnp.float32)), row(b2.astype(jnp.float32)),
+        wfc1.astype(cdt), row(bfc1.astype(jnp.float32)),
+        wfc2.astype(cdt), row(bfc2.astype(jnp.float32)),
+        bias.astype(jnp.float32),
+    ]
+    if mask is not None:
+        in_specs.append(mspec)
+        args.append(jnp.asarray(np.asarray(mask, np.float32)))
+
+    f32 = jnp.float32
+    out_specs = [xspec] + ([xspec] if has_extra else []) + wspecs
+    out_shape = (
+        [jax.ShapeDtypeStruct(x.shape, dtype)]
+        + ([jax.ShapeDtypeStruct(x.shape, dtype)] if has_extra else [])
+        + [
+            jax.ShapeDtypeStruct((c, w.shape[1]), f32),
+            jax.ShapeDtypeStruct((1, bq.shape[1]), f32),
+            jax.ShapeDtypeStruct((wp.shape[0], c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct(wfc1.shape, f32),
+            jax.ShapeDtypeStruct((1, h2), f32),
+            jax.ShapeDtypeStruct(wfc2.shape, f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((nh, n, n), f32),
+        ]
+    )
+    res = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*args)
+
+    res = list(res)
+    dx = res.pop(0)
+    dextra = res.pop(0) if has_extra else None
+    (dw, dbq, dwp, dbp, dg1, db1, dg2, db2,
+     dwfc1, dbfc1, dwfc2, dbfc2, drpb) = res
+    dsc = jnp.zeros((b, 2), f32)
+    dw4 = dw.reshape(c, 3, nh, hdp)[..., :hd]
+    dw4 = dw4.at[:, 0].multiply(scale)
+    dwqkv = dw4.reshape(c, 3 * c)
+    dbq3 = dbq.reshape(3, nh, hdp)[..., :hd]
+    dbq3 = dbq3.at[0].multiply(scale)
+    dbqkv = dbq3.reshape(3 * c)
+    dwproj = dwp.reshape(nh, hdp, c)[:, :hd].reshape(c, c)
+    grads = (
+        dx, dg1[0], db1[0], dwqkv, dbqkv, dwproj, dbp[0],
+        dg2[0], db2[0], dwfc1, dbfc1[0], dwfc2, dbfc2[0], drpb, dsc,
+    )
+    return grads + ((dextra,) if has_extra else ())
+
+
+def fused_packed_windows_block(
+    x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+    wfc1, bfc1, wfc2, bfc2, bias,
+    mask=None, scale=1.0, gelu_approx=True, interpret=None,
+    extra=None, branch_scales=None, group=8,
+):
+    """Fused transformer block on pre-partitioned windows.
+
+    x: [B*nWpad, N, C] window tokens — N must be a multiple of 8 (token
+    padding with -1e9 bias columns is the caller's job, as is window-
+    count padding so nWpad % group == 0).  bias: [nH, N, N];
+    mask: numpy [nWpad, N, N] or None; branch_scales: [B, 2] or None;
+    extra: same shape as x (HAT's CAB branch, pre-partitioned).
+    Differentiable: Pallas backward kernel (jnp-vjp fallback when
+    KERNEL_BACKWARD=False or bqkv is None).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bw = x.shape[0]
+    if branch_scales is None:
+        branch_scales = jnp.ones((1, 2), jnp.float32)
+    b = branch_scales.shape[0]
+    assert bw % (b * group) == 0, (bw, b, group)
+
+    if extra is None:
+
+        @jax.custom_vjp
+        def op(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+               wfc1, bfc1, wfc2, bfc2, bias, scales):
+            return _packed_forward(
+                x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+                wfc1, bfc1, wfc2, bfc2, bias, scales,
+                mask, scale, gelu_approx, interpret, group=group,
+            )
+
+        def op_fwd(*args):
+            return op(*args), args
+
+        def op_bwd(res, ct):
+            if KERNEL_BACKWARD and res[4] is not None:
+                return _packed_backward(
+                    ct, *res, mask, scale, gelu_approx, interpret,
+                    has_extra=False, group=group,
+                )
+            _, vjp = jax.vjp(
+                lambda *a: _reference_packed(
+                    *a, mask, scale, gelu_approx
+                ),
+                *res,
+            )
+            return vjp(ct.astype(res[0].dtype))
+
+        op.defvjp(op_fwd, op_bwd)
+        return op(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+                  wfc1, bfc1, wfc2, bfc2, bias, branch_scales)
+
+    @jax.custom_vjp
+    def op_ex(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+              wfc1, bfc1, wfc2, bfc2, bias, scales, extra):
+        return _packed_forward(
+            x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+            wfc1, bfc1, wfc2, bfc2, bias, scales,
+            mask, scale, gelu_approx, interpret, extra=extra, group=group,
+        )
+
+    def op_ex_fwd(*args):
+        return op_ex(*args), args
+
+    def op_ex_bwd(res, ct):
+        if KERNEL_BACKWARD and res[4] is not None:
+            return _packed_backward(
+                ct, *res[:15], mask, scale, gelu_approx, interpret,
+                has_extra=True, extra=res[15], group=group,
+            )
+        _, vjp = jax.vjp(
+            lambda *a: _reference_packed(
+                *a[:15], mask, scale, gelu_approx, extra=a[15]
             ),
             *res,
         )
