@@ -432,3 +432,26 @@ def test_hat_packed_path_matches_module(rng):
     # fused impl routes HAB through the packed-window megakernel
     y2 = m2.apply(v, x, train=False)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=3e-5)
+
+
+def test_dat_spatial_attention_kernel_matches_jnp(rng):
+    """DAT's rectangular-window spatial attention through the packed
+    Pallas kernel (attention_impl='pallas', interpret on CPU) matches
+    the jnp einsum path — incl. the dual-rect shift masks."""
+    from tpu_superresolution_tpu.core.config import DATConfig, build_model
+
+    def cfg(impl):
+        return DATConfig(
+            scale=2, img_size=16, embed_dim=24, split_size=(2, 4),
+            depths=(4,), num_heads=(2,), expansion_factor=2.0,
+            attention_impl=impl, drop_path_rate=0.0,
+            fused_reconstruct=False,
+        )
+
+    x = jnp.asarray(rng.random((1, 16, 16, 3), dtype=np.float32))
+    m1 = build_model(cfg("jnp"))
+    m2 = build_model(cfg("pallas"))
+    v = m1.init(jax.random.key(0), x, train=False)
+    y1 = m1.apply(v, x, train=False)
+    y2 = m2.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=3e-5)

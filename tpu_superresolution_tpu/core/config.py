@@ -181,6 +181,7 @@ class DATConfig(ModelConfig):
     num_feat: int = 64
     img_range: float = 1.0
     use_remat: bool = False
+    attention_impl: str = "auto"  # "auto" | "jnp" | "pallas"
     # Stochastic depth on DATB residuals (reference dat_arch.py:733,771).
     drop_path_rate: float = 0.1
     fused_reconstruct: bool = True  # see SwinIRConfig.fused_reconstruct

@@ -89,15 +89,52 @@ class SpatialAttentionBranch(nn.Module):
     hsp: int
     wsp: int
     num_heads: int
+    attn_impl: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, q, k, v, mask=None):
+        from tpu_superresolution_tpu.ops.pallas.window_attention import (
+            batched_window_attention,
+            resolve_attention_impl,
+        )
+
         b, h, w, c = q.shape
         hsp, wsp, nh = self.hsp, self.wsp, self.num_heads
         hd = c // nh
         n = hsp * wsp
         nw = (h // hsp) * (w // wsp)
+
+        pos = DynamicPosBias(c // 4 // 4, nh, self.dtype, name="pos")(
+            jnp.asarray(_rpe_biases(hsp, wsp))
+        )  # [(2h-1)(2w-1), nh]
+        rpi = relative_position_index(hsp, wsp)
+        bias = pos[rpi.reshape(-1)].reshape(n, n, nh).transpose(2, 0, 1)
+
+        if resolve_attention_impl(self.attn_impl) == "pallas":
+            # Measured (v5e, 256x256 DAT production config): the jnp
+            # einsum path wins here — 136.4 ms whole-model vs 175.4
+            # (packed kernel, (P-1)/P FLOPs dead in -1e9 blocks at
+            # N=128) and 168.8 (batched kernel; the [B*nW,n,nh,hd] ->
+            # [.,nh,n,hd] relayout XLA must materialize beforehand
+            # costs more than the kernel saves — N=128 windows are
+            # already lane-perfect for XLA's einsums).  'auto' therefore
+            # resolves to jnp for this branch; the batched kernel stays
+            # selectable for comparison.
+            to_kernel = lambda t: (
+                rect_window_partition(t, hsp, wsp)
+                .reshape(b * nw, n, nh, hd)
+                .transpose(0, 2, 1, 3)
+            )
+            m = jnp.asarray(mask) if mask is not None else None
+            out = batched_window_attention(
+                to_kernel(q * (hd**-0.5)).astype(self.dtype),
+                to_kernel(k).astype(self.dtype),
+                to_kernel(v).astype(self.dtype),
+                bias.astype(jnp.float32), m, scale=1.0,
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(b * nw, n, c)
+            return rect_window_reverse(out, hsp, wsp, h, w)
 
         def windows(x):
             xw = rect_window_partition(x, hsp, wsp)  # [B*nW, n, C]
@@ -105,12 +142,6 @@ class SpatialAttentionBranch(nn.Module):
 
         qw, kw, vw = windows(q), windows(k), windows(v)
         attn = jnp.einsum("bwqhd,bwkhd->bwhqk", qw * (hd**-0.5), kw)
-
-        pos = DynamicPosBias(c // 4 // 4, nh, self.dtype, name="pos")(
-            jnp.asarray(_rpe_biases(hsp, wsp))
-        )  # [(2h-1)(2w-1), nh]
-        rpi = relative_position_index(hsp, wsp)
-        bias = pos[rpi.reshape(-1)].reshape(n, n, nh).transpose(2, 0, 1)
         attn = attn + bias[None, None].astype(attn.dtype)
 
         if mask is not None:
@@ -176,6 +207,7 @@ class AdaptiveSpatialAttention(nn.Module):
     split_size: Tuple[int, int]
     qkv_bias: bool
     do_shift: bool
+    attn_impl: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -216,7 +248,8 @@ class AdaptiveSpatialAttention(nn.Module):
                 )
                 mask = rect_shift_attn_mask(hp, wp, hsp, wsp, shifts[0], shifts[1])
             out = SpatialAttentionBranch(hsp, wsp, self.num_heads // 2,
-                                         self.dtype, name=f"attns_{idx}")(
+                                         self.attn_impl, self.dtype,
+                                         name=f"attns_{idx}")(
                 qi, ki, vi, mask
             )
             if self.do_shift and (shifts[0] or shifts[1]):
@@ -325,6 +358,7 @@ class DATB(nn.Module):
     rg_idx: int
     b_idx: int
     drop_path_rate: float = 0.0
+    attn_impl: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -339,7 +373,7 @@ class DATB(nn.Module):
         if j % 2 == 0:
             y = AdaptiveSpatialAttention(
                 self.dim, self.num_heads, self.split_size, self.qkv_bias,
-                do_shift, self.dtype, name="attn",
+                do_shift, self.attn_impl, self.dtype, name="attn",
             )(y, train)
         else:
             y = AdaptiveChannelAttention(
@@ -367,6 +401,7 @@ class ResidualGroup(nn.Module):
     drop_path_rates: Tuple[float, ...] = ()
     resi_connection: str = "1conv"
     use_remat: bool = False
+    attn_impl: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -378,7 +413,7 @@ class ResidualGroup(nn.Module):
                 self.dim, self.num_heads, self.split_size,
                 self.expansion_factor, self.qkv_bias, self.rg_idx, j,
                 self.drop_path_rates[j] if self.drop_path_rates else 0.0,
-                self.dtype, name=f"blocks_{j}",
+                self.attn_impl, self.dtype, name=f"blocks_{j}",
             )(x, train)
         if self.resi_connection == "1conv":
             x = nn.Conv(self.dim, (3, 3), padding=((1, 1), (1, 1)),
@@ -421,7 +456,7 @@ class DAT(nn.Module):
                 cfg.embed_dim, depth, cfg.num_heads[i], cfg.split_size,
                 cfg.expansion_factor, cfg.qkv_bias, i,
                 tuple(dpr[start : start + depth]),
-                cfg.resi_connection, cfg.use_remat, dt,
+                cfg.resi_connection, cfg.use_remat, cfg.attention_impl, dt,
                 name=f"layers_{i}",
             )(feats, train)
             start += depth

@@ -106,15 +106,18 @@ def fused_window_attention(
     bias: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
     scale: float = 1.0,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
     windows_per_block: int = 8,
 ) -> jnp.ndarray:
     """See module docstring for the layout contract.
 
     `windows_per_block` (P) is auto-reduced to the largest value that
     divides B*nW (and nW_mask when masked) and keeps the packed
-    attention tile + operands within a VMEM budget.
+    attention tile + operands within a VMEM budget.  `interpret=None`
+    auto-selects Pallas interpret mode off-TPU.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     bw, nh, nq, hd = q.shape
     nk = k.shape[2]
 
@@ -237,3 +240,98 @@ def window_attention_reference(q, k, v, bias, mask=None, scale=1.0):
     attn = jax.nn.softmax(attn, axis=-1)
     out = jnp.einsum("whqk,whkd->whqd", attn, v.astype(jnp.float32))
     return out.astype(q.dtype)
+
+
+def _batched_kernel(q_ref, k_ref, v_ref, bias_ref, *rest, num_heads, scale):
+    """Per-window BATCHED attention: blocks q/k/v [G, nH, N, hd]; scores
+    are G independent [N, N] blocks per head — no block-diagonal packing
+    (for large windows, e.g. DAT's N=128, packing wastes (P-1)/P of the
+    MXU FLOPs on -1e9 entries; batching wastes none)."""
+    mask_ref = rest[0] if len(rest) == 2 else None
+    o_ref = rest[-1]
+    g, nh, n, hd = q_ref.shape
+    ss = []
+    for h in range(num_heads):
+        q = q_ref[:, h].astype(jnp.float32) * scale
+        k = k_ref[:, h].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [G, N, N]
+        ss.append(s + bias_ref[h][None])
+    S = jnp.stack(ss)  # [nH, G, N, N]
+    if mask_ref is not None:
+        S = S + mask_ref[:][None]
+    m = jnp.max(S, axis=-1, keepdims=True)
+    E = jnp.exp(S - m)
+    A = E / jnp.sum(E, axis=-1, keepdims=True)
+    for h in range(num_heads):
+        v = v_ref[:, h].astype(jnp.float32)
+        o = jax.lax.dot_general(
+            A[h], v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:, h] = o.astype(o_ref.dtype)
+
+
+def batched_window_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    scale: float = 1.0,
+    interpret: Optional[bool] = None,
+    group: int = 8,
+) -> jnp.ndarray:
+    """Same layout contract as fused_window_attention (q [B*nW, nH, N,
+    hd], bias [nH, N, N], mask [nW, N, N] or None) but without window
+    packing — right for LARGE windows (DAT's rect windows, N=128).
+    N must be a multiple of 8; the window count is padded to `group`
+    internally (mask phase preserved when nW % group == 0)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bw, nh, n, hd = q.shape
+    assert n % 8 == 0, n
+    bw_orig = bw
+    bwpad = (-bw) % group
+    if bwpad:
+        if mask is not None:
+            # keep the mask stream aligned: caller guarantees nW % group
+            # == 0 when masked (DAT's rect grids are powers of two)
+            raise ValueError("masked calls require bw % group == 0")
+        q = jnp.pad(q, ((0, bwpad), (0, 0), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, bwpad), (0, 0), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, bwpad), (0, 0), (0, 0), (0, 0)))
+        bw += bwpad
+
+    in_specs = [
+        pl.BlockSpec((group, nh, n, hd), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((group, nh, n, hd), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((group, nh, n, hd), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nh, n, n), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v, bias.astype(jnp.float32)]
+    if mask is not None:
+        nwm = mask.shape[0]
+        nblocks = nwm // group
+        in_specs.append(
+            pl.BlockSpec((group, n, n), lambda i: (i % nblocks, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(jnp.asarray(mask, jnp.float32))
+    kernel = functools.partial(_batched_kernel, num_heads=nh, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bw // group,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((group, nh, n, hd), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bw, nh, n, hd), q.dtype),
+        interpret=interpret,
+    )(*args)
+    return out[:bw_orig] if bwpad else out
