@@ -141,3 +141,21 @@ def test_evaluate_cli_torch_checkpoint(dataset, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "torch->flax converted" in out
     assert np.isfinite(results["psnr"]) and np.isfinite(results["ssim"])
+
+
+def test_train_cli_transformer_model(dataset, tmp_path, capsys):
+    """--model swinir goes through the registry fall-through (the zoo
+    import must populate it — regression for a KeyError found on TPU)."""
+    from tpu_superresolution_tpu.cli.train import main as train_main
+
+    train_main([
+        "--data_root", str(dataset), "--scale", "X2", "--model", "swinir",
+        "--embed_dim", "12", "--t_depths", "2", "--t_heads", "2",
+        "--window_size", "4",
+        "--patch_size", "16",
+        "--epochs", "1", "--batch_size", "2", "--workdir", str(tmp_path),
+        "--seed", "0",
+    ])
+    out = capsys.readouterr().out
+    assert "swinir" in out
+    assert (tmp_path / "best_X2").exists()

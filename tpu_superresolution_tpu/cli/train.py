@@ -74,6 +74,13 @@ def build_argparser():
     # unet2d sizing (the reference's earlier train.py exposed
     # --base_channels — common_commands.txt:5-6)
     ap.add_argument("--base_channels", type=int, default=64)
+    # transformer architecture overrides (swinir/hat/dat; None = family
+    # default — the finetune CLI carries the same knobs)
+    ap.add_argument("--embed_dim", type=int, default=None)
+    ap.add_argument("--t_depths", type=str, default=None,
+                    help="comma list, e.g. 6,6,6,6")
+    ap.add_argument("--t_heads", type=str, default=None)
+    ap.add_argument("--window_size", type=int, default=None)
     ap.add_argument("--depth", type=int, default=4)
     ap.add_argument("--residual", action="store_true",
                     help="unet2d residual head: predict a correction to the "
@@ -101,8 +108,24 @@ def main(argv=None):
             residual=args.residual,
         )
     else:
+        # importing the model zoo populates the registry (swinir/hat/dat)
+        import dataclasses
+
+        from tpu_superresolution_tpu import models as _models  # noqa: F401
+
         cfg_cls, _ = model_registry[model_name]
         mcfg = cfg_cls(scale=int(args.scale[1:]))
+        over = {}
+        if args.embed_dim is not None:
+            over["embed_dim"] = args.embed_dim
+        if args.t_depths is not None:
+            over["depths"] = tuple(int(d) for d in args.t_depths.split(","))
+        if args.t_heads is not None:
+            over["num_heads"] = tuple(int(h) for h in args.t_heads.split(","))
+        if args.window_size is not None and hasattr(mcfg, "window_size"):
+            over["window_size"] = args.window_size
+        if over:
+            mcfg = dataclasses.replace(mcfg, **over)
     # CNN families use the pre-upscale convention; transformers native-LR
     convention = "native_lr" if mcfg.upsamples_internally else "pre_upscale"
     channels = mcfg.in_channels
