@@ -29,15 +29,18 @@ separate LN/MLP kernels around every pallas_call), this kernel:
   with every pointwise op, so callers roll OUTSIDE (jnp.roll is a cheap
   XLA copy) and this kernel sees the rolled domain.
 
-Backward = custom_vjp over the jnp reference composition (exact math,
-recompute).
+Backward: a matching Pallas kernel (_bwd_kernel) recomputes the forward
+intermediates per strip in VMEM and chains the cotangent through
+MLP/LN2/proj/attention/qkv/LN1, accumulating all weight grads across
+grid steps (KERNEL_BACKWARD=False falls back to jax.vjp over the jnp
+reference composition).  A packed-window variant of both kernels
+(fused_packed_windows_block) serves window sizes whose strips can't
+tile on Mosaic (ws%8 != 0, e.g. HAT's 7).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
