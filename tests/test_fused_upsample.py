@@ -90,3 +90,39 @@ def test_fused_reconstruct_grads_finite():
     g = jax.grad(loss, argnums=(0, 1, 2, 3))(y, w0, b0, last)
     for leaf in jax.tree.leaves(g):
         assert bool(jnp.isfinite(leaf).all())
+
+
+def test_converted_torch_weights_through_fused_reconstruct():
+    """Official-format converted SwinIR weights run through the FUSED
+    reconstruction (production default) and match the torch forward on
+    the interior (border ring excluded)."""
+    import torch
+
+    from tests.util_torchref import import_reference
+    from tpu_superresolution_tpu.core import build_model
+    from tpu_superresolution_tpu.core.config import SwinIRConfig
+    from tpu_superresolution_tpu.interop import convert_swinir, extract_state_dict
+
+    ref = import_reference("network_swinir")
+    tmodel = ref.SwinIR(
+        upscale=2, in_chans=3, img_size=16, window_size=4,
+        img_range=1.0, depths=(2,), embed_dim=12, num_heads=(2,),
+        mlp_ratio=2.0, upsampler="pixelshuffle", resi_connection="1conv",
+    )
+    tmodel.eval()
+    cfg = SwinIRConfig(
+        scale=2, img_size=16, window_size=4, embed_dim=12, depths=(2,),
+        num_heads=(2,), mlp_ratio=2.0, upsampler="pixelshuffle",
+        attention_impl="jnp", gelu_approximate=False,
+        fused_reconstruct=True,
+    )
+    jmodel = build_model(cfg)
+    variables = convert_swinir(extract_state_dict(tmodel.state_dict()), scale=2)
+    x = np.random.RandomState(0).rand(1, 16, 16, 3).astype(np.float32)
+    with torch.no_grad():
+        yt = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    yj = np.asarray(jmodel.apply(variables, jnp.asarray(x), train=False))
+    yj = yj.transpose(0, 3, 1, 2)
+    ring = 4  # 2 low-res px * scale 2
+    d = np.abs(yt - yj)[:, :, ring:-ring, ring:-ring]
+    assert d.max() < 1e-4, d.max()
