@@ -56,6 +56,17 @@ def main():
 
     mpix = out.shape[1] * out.shape[2] / 1e6
     value = mpix / dt
+
+    # MFU of the executed program (includes the tile-overlap redundancy
+    # — this is utilization of the chip, not useful-work efficiency).
+    try:
+        from tpu_superresolution_tpu.utils.flops import mfu, xla_flops
+
+        flops = xla_flops(run, x)
+        mfu_val = round(mfu(flops, dt), 4)
+    except Exception:
+        mfu_val = None
+
     print(
         json.dumps(
             {
@@ -63,6 +74,7 @@ def main():
                 "value": round(value, 2),
                 "unit": "MPix/s/chip",
                 "vs_baseline": round(value / ROUND1_BASELINE_MPIX_S, 3),
+                "mfu": mfu_val,
             }
         )
     )

@@ -1,0 +1,210 @@
+"""Round-3 additions: torch-checkpoint architecture inference, the
+--exact evaluation mode, clear CLI errors, FLOP estimators, the ablation
+harness, batched-attention grads, and the scale=1 reconstruction path."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from tests.util_torchref import import_reference
+
+from tpu_superresolution_tpu.core.config import SwinIRConfig, build_model
+from tpu_superresolution_tpu.interop import (
+    convert_swinir,
+    extract_state_dict,
+    infer_config,
+)
+
+
+def _nondefault_swinir_sd(scale=2, embed_dim=30, depths=(2, 3), heads=(3, 5),
+                          window_size=4, upsampler="pixelshuffle"):
+    ref = import_reference("network_swinir")
+    torch.manual_seed(0)
+    tmodel = ref.SwinIR(
+        img_size=16, patch_size=1, in_chans=3,
+        embed_dim=embed_dim, depths=list(depths), num_heads=list(heads),
+        window_size=window_size, mlp_ratio=2.0, upscale=scale,
+        img_range=1.0, upsampler=upsampler, resi_connection="1conv",
+        drop_path_rate=0.0,
+    )
+    tmodel.eval()
+    return tmodel, extract_state_dict(tmodel.state_dict())
+
+
+class TestInferConfig:
+    def test_swinir_nondefault_width_inferred(self):
+        """A non-default-width checkpoint evaluates instead of failing
+        deep in the converter (VERDICT round-2 item 10)."""
+        tmodel, sd = _nondefault_swinir_sd()
+        cfg = infer_config("swinir", sd, scale=2)
+        assert cfg.embed_dim == 30
+        assert cfg.depths == (2, 3)
+        assert cfg.num_heads == (3, 5)
+        assert cfg.window_size == 4
+        assert cfg.upsampler == "pixelshuffle"
+        assert cfg.mlp_ratio == 2.0
+        # and the inferred config actually runs the converted weights
+        cfg = dataclasses.replace(
+            cfg, gelu_approximate=False, fused_reconstruct=False
+        )
+        model = build_model(cfg)
+        variables = convert_swinir(sd, scale=2)
+        x = np.random.default_rng(0).random((1, 8, 8, 3), np.float32)
+        ours = np.asarray(model.apply(variables, x, train=False))
+        with torch.no_grad():
+            refv = tmodel(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+        refv = np.transpose(refv.numpy(), (0, 2, 3, 1))
+        assert np.max(np.abs(ours - refv)) < 3e-5
+
+    def test_wrong_model_clear_error(self):
+        _, sd = _nondefault_swinir_sd()
+        with pytest.raises(ValueError, match="not a HAT checkpoint"):
+            infer_config("hat", sd, scale=2)
+        with pytest.raises(ValueError, match="not a DAT checkpoint"):
+            infer_config("dat", sd, scale=2)
+        with pytest.raises(ValueError, match="not an MS_ResUNet"):
+            infer_config("ms_resunet", sd, scale=2)
+
+    def test_pixelshuffledirect_inferred(self):
+        _, sd = _nondefault_swinir_sd(upsampler="pixelshuffledirect")
+        cfg = infer_config("swinir", sd, scale=2)
+        assert cfg.upsampler == "pixelshuffledirect"
+        assert cfg.out_channels == 3
+
+
+class TestEvaluateExactMode:
+    def test_torch_ckpt_defaults_exact(self, tmp_path):
+        """Torch checkpoints evaluate with reference-exact semantics by
+        default (ADVICE round-2: no fused border ring / tanh gelu in
+        published-checkpoint metrics)."""
+        from tpu_superresolution_tpu.cli.evaluate import _load_torch_checkpoint
+
+        tmodel, _ = _nondefault_swinir_sd()
+        path = tmp_path / "best.pt"
+        torch.save({"params": tmodel.state_dict()}, path)
+        mcfg, variables = _load_torch_checkpoint("swinir", str(path), 2, exact=True)
+        assert mcfg.fused_reconstruct is False
+        assert mcfg.gelu_approximate is False
+        mcfg2, _ = _load_torch_checkpoint("swinir", str(path), 2, exact=False)
+        assert mcfg2.fused_reconstruct is True
+
+
+class TestTrainCliFlagGuards:
+    def test_transformer_flags_rejected_for_cnn(self, tmp_path):
+        from tpu_superresolution_tpu.cli.train import main
+
+        with pytest.raises(SystemExit, match="embed_dim"):
+            main([
+                "--data_root", str(tmp_path), "--scale", "X2",
+                "--model", "ms_resunet", "--embed_dim", "64",
+            ])
+
+
+class TestScale1Reconstruction:
+    def test_swinir_scale1_fused_config_builds(self):
+        """scale=1 short-circuits the fused composition (which would
+        index an empty stage list) to the plain conv_last path."""
+        cfg = SwinIRConfig(
+            scale=1, img_size=8, window_size=4, embed_dim=16,
+            depths=(1,), num_heads=(2,), upsampler="pixelshuffle",
+            fused_reconstruct=True,
+        )
+        model = build_model(cfg)
+        x = jnp.zeros((1, 8, 8, 3), jnp.float32)
+        variables = model.init(jax.random.key(0), x, train=False)
+        out = model.apply(variables, x, train=False)
+        assert out.shape == (1, 8, 8, 3)
+
+
+class TestFlops:
+    def test_swinir_analytic_matches_xla(self):
+        from tpu_superresolution_tpu.utils.flops import swinir_flops, xla_flops
+
+        cfg = SwinIRConfig(
+            scale=2, img_size=16, window_size=4, embed_dim=32,
+            depths=(2, 2), num_heads=(4, 4), upsampler="pixelshuffle",
+            fused_reconstruct=False, drop_path_rate=0.0,
+        )
+        model = build_model(cfg)
+        x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+        variables = model.init(jax.random.key(0), x, train=False)
+        measured = xla_flops(
+            lambda v, a: model.apply(v, a, train=False), variables, x
+        )
+        analytic = swinir_flops(cfg, 16, 16)
+        # cost_analysis counts every op incl. LN/softmax; analytic only
+        # the GEMM/conv terms — agree within 25%
+        assert measured > 0
+        assert abs(analytic - measured) / measured < 0.25
+
+    def test_mfu(self):
+        from tpu_superresolution_tpu.utils.flops import mfu
+
+        assert mfu(197e12, 1.0) == pytest.approx(1.0)
+
+    def test_transformer_estimators_positive(self):
+        from tpu_superresolution_tpu.core.config import DATConfig, HATConfig
+        from tpu_superresolution_tpu.utils.flops import model_flops
+
+        assert model_flops(SwinIRConfig(scale=4), 64, 64) > 1e9
+        assert model_flops(HATConfig(scale=4), 64, 64) > 1e9
+        assert model_flops(DATConfig(scale=4), 64, 64) > 1e9
+
+    def test_cnn_dispatch_raises(self):
+        from tpu_superresolution_tpu.core.config import MSResUNetConfig
+        from tpu_superresolution_tpu.utils.flops import model_flops
+
+        with pytest.raises(ValueError, match="xla_flops"):
+            model_flops(MSResUNetConfig(), 64, 64)
+
+
+class TestAblate:
+    def test_interleaved_rounds(self):
+        from tpu_superresolution_tpu.utils.ablate import ablate, report
+
+        x = jnp.ones((64, 64), jnp.float32)
+        res = ablate(
+            {"mat": lambda: x @ x, "add": lambda: x + x},
+            inner=3, rounds=3,
+        )
+        assert set(res) == {"mat", "add"}
+        for r in res.values():
+            assert len(r.times_s) == 3
+            assert r.min_s > 0
+        table = report(res)
+        assert "vs best" in table and "mat" in table
+
+
+class TestBatchedAttentionGrad:
+    def test_batched_window_attention_differentiable(self, rng):
+        """DATConfig(attention_impl='pallas') under jax.grad works
+        (ADVICE round-2: custom_vjp falls back to the jnp reference)."""
+        from tpu_superresolution_tpu.ops.pallas.window_attention import (
+            batched_window_attention,
+            window_attention_reference,
+        )
+
+        q = jnp.asarray(rng.standard_normal((8, 2, 16, 8), np.float32))
+        k = jnp.asarray(rng.standard_normal((8, 2, 16, 8), np.float32))
+        v = jnp.asarray(rng.standard_normal((8, 2, 16, 8), np.float32))
+        bias = jnp.asarray(rng.standard_normal((2, 16, 16), np.float32))
+
+        def loss_kernel(q, k, v, bias):
+            return jnp.sum(
+                batched_window_attention(q, k, v, bias, scale=0.5,
+                                         interpret=True) ** 2
+            )
+
+        def loss_ref(q, k, v, bias):
+            return jnp.sum(
+                window_attention_reference(q, k, v, bias, scale=0.5) ** 2
+            )
+
+        g_k = jax.grad(loss_kernel, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        g_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for a, b in zip(g_k, g_r):
+            assert np.max(np.abs(np.asarray(a) - np.asarray(b))) < 1e-4

@@ -20,31 +20,45 @@ from tpu_superresolution_tpu.evaluate.baseline import bicubic_baseline
 from tpu_superresolution_tpu.evaluate.runner import Evaluator
 
 
-def _load_torch_checkpoint(model_name: str, path: str, scale: int):
-    """Convert a reference torch checkpoint to flax variables with the
-    published default architecture for `model_name` (the reference's
-    evaluate.py:41-63 hardcodes the same defaults)."""
-    from tpu_superresolution_tpu.core.config import (
-        DATConfig,
-        HATConfig,
-        SwinIRConfig,
-    )
+def _load_torch_checkpoint(model_name: str, path: str, scale: int, exact: bool):
+    """Convert a reference torch checkpoint to flax variables.  The
+    architecture (width/depth/heads/window/upsampler) is INFERRED from
+    the state-dict tensor shapes (interop.infer_config) so non-default
+    checkpoints evaluate correctly — the reference's evaluate.py:136-145
+    hardcodes the published defaults and fails opaquely on anything else.
+
+    `exact=True` (the default for torch checkpoints) disables the
+    production approximations (fused_reconstruct border ring, tanh gelu)
+    so reported PSNR/SSIM is bit-parity with evaluating the same weights
+    through the reference."""
+    import dataclasses
+
     from tpu_superresolution_tpu.interop import (
         convert_dat,
         convert_hat,
         convert_msresunet,
         convert_swinir,
+        infer_config,
         load_torch_checkpoint,
     )
 
     sd = load_torch_checkpoint(path)
+    mcfg = infer_config(model_name, sd, scale)
+    if exact:
+        over = {
+            k: v
+            for k, v in (("fused_reconstruct", False), ("gelu_approximate", False))
+            if hasattr(mcfg, k)
+        }
+        if over:
+            mcfg = dataclasses.replace(mcfg, **over)
     if model_name == "ms_resunet":
-        return MSResUNetConfig(scale=scale), convert_msresunet(sd)
+        return mcfg, convert_msresunet(sd)
     if model_name == "swinir":
-        return SwinIRConfig(scale=scale), convert_swinir(sd, scale=scale)
+        return mcfg, convert_swinir(sd, scale=scale)
     if model_name == "hat":
-        return HATConfig(scale=scale), convert_hat(sd)
-    return DATConfig(scale=scale), convert_dat(sd)
+        return mcfg, convert_hat(sd)
+    return mcfg, convert_dat(sd)
 
 
 def build_argparser():
@@ -73,6 +87,12 @@ def build_argparser():
     ap.add_argument("--tile_batch", type=int, default=0,
                     help="max tiles per model call (0 = all in one batch); "
                          "bounds peak HBM at production whole-image sizes")
+    ap.add_argument("--exact", action=argparse.BooleanOptionalAction, default=None,
+                    help="reference-exact semantics: disable fused_reconstruct "
+                         "and tanh-gelu approximations.  Default: on for torch "
+                         ".pt/.pth checkpoints (published-checkpoint metrics "
+                         "stay reference-exact), off for Orbax checkpoints "
+                         "(the config in the checkpoint rules)")
     ap.add_argument("--no_baseline", action="store_true")
     ap.add_argument("--dp", type=int, default=0,
                     help="shard the tile batch across N mesh devices "
@@ -89,9 +109,13 @@ def main(argv=None):
         # Reference torch checkpoint (e.g. the published best_X2.pt —
         # /root/reference/modules/evaluate.py:41-63 loads these):
         # convert in place and evaluate directly, no retraining needed.
-        mcfg, variables = _load_torch_checkpoint(args.model, args.ckpt, scale_int)
+        exact = True if args.exact is None else args.exact
+        mcfg, variables = _load_torch_checkpoint(
+            args.model, args.ckpt, scale_int, exact
+        )
         model = build_model(mcfg)
-        print(f"[ckpt] {args.ckpt}: torch->flax converted, model={mcfg.name}")
+        print(f"[ckpt] {args.ckpt}: torch->flax converted, model={mcfg.name} "
+              f"(exact={exact})")
     else:
         from tpu_superresolution_tpu.train.checkpoint import (
             load_weights_only,
@@ -99,6 +123,16 @@ def main(argv=None):
         )
 
         mcfg = model_config_from_checkpoint(args.ckpt) or MSResUNetConfig(scale=scale_int)
+        if args.exact:
+            import dataclasses
+
+            over = {
+                k: v
+                for k, v in (("fused_reconstruct", False), ("gelu_approximate", False))
+                if hasattr(mcfg, k)
+            }
+            if over:
+                mcfg = dataclasses.replace(mcfg, **over)
         model = build_model(mcfg)
         restored, meta = load_weights_only(args.ckpt)
         variables = {"params": restored["params"]}

@@ -98,6 +98,17 @@ def main(argv=None):
     t_all = time.time()
 
     model_name = args.model
+    if model_name in ("ms_resunet", "unet2d"):
+        tflags = {
+            "--embed_dim": args.embed_dim, "--t_depths": args.t_depths,
+            "--t_heads": args.t_heads, "--window_size": args.window_size,
+        }
+        passed = [k for k, v in tflags.items() if v is not None]
+        if passed:
+            raise SystemExit(
+                f"flag(s) {passed} not valid for model '{model_name}' "
+                f"(transformer-only overrides)"
+            )
     if model_name == "ms_resunet":
         mcfg = MSResUNetConfig(scale=int(args.scale[1:]))
     elif model_name == "unet2d":
@@ -122,8 +133,14 @@ def main(argv=None):
             over["depths"] = tuple(int(d) for d in args.t_depths.split(","))
         if args.t_heads is not None:
             over["num_heads"] = tuple(int(h) for h in args.t_heads.split(","))
-        if args.window_size is not None and hasattr(mcfg, "window_size"):
+        if args.window_size is not None:
             over["window_size"] = args.window_size
+        bad = [k for k in over if not hasattr(mcfg, k)]
+        if bad:
+            raise SystemExit(
+                f"flag(s) {bad} not valid for model '{model_name}' "
+                f"(its config has no such field)"
+            )
         if over:
             mcfg = dataclasses.replace(mcfg, **over)
     # CNN families use the pre-upscale convention; transformers native-LR

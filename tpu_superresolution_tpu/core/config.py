@@ -109,8 +109,9 @@ class SwinIRConfig(ModelConfig):
     # (reference network_swinir.py:649,701); inactive at inference.
     drop_path_rate: float = 0.1
     # Collapse the linear Upsample+conv_last chain into one conv + one
-    # pixel_shuffle (ops/fused_upsample.py; exact in the interior,
-    # <=3-output-px border ring differs).  Parity tests pin False.
+    # pixel_shuffle (ops/fused_upsample.py; exact in the interior, a
+    # border ring of up to ~3 LR px = 3*scale output px differs — 12
+    # output px at x4).  Parity tests pin False.
     fused_reconstruct: bool = True
 
     @property

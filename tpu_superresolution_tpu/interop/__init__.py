@@ -4,6 +4,7 @@ from .torch_convert import (
     convert_msresunet,
     convert_swinir,
     extract_state_dict,
+    infer_config,
     load_torch_checkpoint,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "convert_msresunet",
     "convert_swinir",
     "extract_state_dict",
+    "infer_config",
     "load_torch_checkpoint",
 ]

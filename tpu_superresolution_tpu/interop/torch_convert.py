@@ -449,3 +449,241 @@ def convert_dat(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
         put_conv(("upsample", "conv"), "upsample.0")
 
     return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# Architecture inference from a torch state dict
+# ---------------------------------------------------------------------------
+
+
+def _depths_heads_swin(sd, prefix="layers.{i}.residual_group.blocks.{j}"):
+    """Count blocks per layer and read heads from each layer's first
+    block's relative_position_bias_table [-1] dim."""
+    depths, heads = [], []
+    i = 0
+    while prefix.format(i=i, j=0) + ".norm1.weight" in sd:
+        j = 0
+        while prefix.format(i=i, j=j) + ".norm1.weight" in sd:
+            j += 1
+        depths.append(j)
+        heads.append(
+            int(sd[prefix.format(i=i, j=0) + ".attn.relative_position_bias_table"].shape[1])
+        )
+        i += 1
+    return tuple(depths), tuple(heads)
+
+
+def _ws_from_rpb(rows: int, what: str) -> int:
+    """Window size from a [(2ws-1)^2, nH] bias table row count."""
+    side = int(round(rows**0.5))
+    if side * side != rows or side % 2 != 1:
+        raise ValueError(
+            f"{what}: relative_position_bias_table has {rows} rows, "
+            f"which is not an odd perfect square (2*ws-1)^2 — "
+            "unrecognized window geometry"
+        )
+    return (side + 1) // 2
+
+
+def infer_swinir_config(sd: Dict[str, np.ndarray], scale: int):
+    """Build a SwinIRConfig matching a reference network_swinir.py state
+    dict (width/depth/heads/window inferred from tensor shapes), so
+    non-default checkpoints evaluate correctly instead of failing deep
+    inside the converter (reference evaluate.py:136-145 hardcodes the
+    published architecture; we can do better)."""
+    from tpu_superresolution_tpu.core.config import SwinIRConfig
+
+    if "conv_first.weight" not in sd:
+        raise ValueError(
+            "not a SwinIR checkpoint: missing 'conv_first.weight' "
+            f"(keys start: {sorted(sd)[:5]})"
+        )
+    embed_dim = int(sd["conv_first.weight"].shape[0])
+    in_channels = int(sd["conv_first.weight"].shape[1])
+    depths, heads = _depths_heads_swin(sd)
+    if not depths:
+        raise ValueError(
+            "SwinIR checkpoint has no "
+            "'layers.*.residual_group.blocks.*' keys — wrong --model?"
+        )
+    b0 = "layers.0.residual_group.blocks.0"
+    ws = _ws_from_rpb(
+        sd[f"{b0}.attn.relative_position_bias_table"].shape[0], "SwinIR"
+    )
+    mlp_ratio = sd[f"{b0}.mlp.fc1.weight"].shape[0] / embed_dim
+    if "conv_up1.weight" in sd:
+        upsampler = "nearest+conv"
+        num_feat = int(sd["conv_up1.weight"].shape[0])
+        out_channels = int(sd["conv_last.weight"].shape[0])
+    elif "conv_before_upsample.0.weight" in sd:
+        upsampler = "pixelshuffle"
+        num_feat = int(sd["conv_before_upsample.0.weight"].shape[0])
+        out_channels = int(sd["conv_last.weight"].shape[0])
+    elif "upsample.0.weight" in sd:
+        upsampler = "pixelshuffledirect"
+        num_feat = 64
+        out_channels = int(sd["upsample.0.weight"].shape[0]) // (scale * scale)
+    else:
+        upsampler = ""
+        num_feat = 64
+        out_channels = int(sd["conv_last.weight"].shape[0])
+    return SwinIRConfig(
+        scale=scale,
+        in_channels=in_channels,
+        out_channels=out_channels,
+        window_size=ws,
+        embed_dim=embed_dim,
+        depths=depths,
+        num_heads=heads,
+        mlp_ratio=float(mlp_ratio),
+        qkv_bias=f"{b0}.attn.qkv.bias" in sd,
+        upsampler=upsampler,
+        resi_connection="1conv" if "layers.0.conv.weight" in sd else "3conv",
+        ape="absolute_pos_embed" in sd,
+        patch_norm="patch_embed.norm.weight" in sd,
+        num_feat=num_feat,
+    )
+
+
+def infer_hat_config(sd: Dict[str, np.ndarray], scale: int):
+    """HATConfig from a reference hat_arch.py state dict (see
+    infer_swinir_config).  conv_scale is not a weight (default 0.01)."""
+    from tpu_superresolution_tpu.core.config import HATConfig
+
+    if "layers.0.residual_group.overlap_attn.qkv.weight" not in sd:
+        raise ValueError(
+            "not a HAT checkpoint: missing "
+            "'layers.0.residual_group.overlap_attn.qkv.weight' — wrong --model?"
+        )
+    embed_dim = int(sd["conv_first.weight"].shape[0])
+    in_channels = int(sd["conv_first.weight"].shape[1])
+    depths, heads = _depths_heads_swin(sd)
+    b0 = "layers.0.residual_group.blocks.0"
+    ws = _ws_from_rpb(
+        sd[f"{b0}.attn.relative_position_bias_table"].shape[0], "HAT"
+    )
+    # OCAB table rows = (ws + owin - 1)^2, owin = ws*(1+overlap_ratio)
+    # (hat_arch.py:381-382)
+    orows = sd[
+        "layers.0.residual_group.overlap_attn.relative_position_bias_table"
+    ].shape[0]
+    oside = int(round(orows**0.5))
+    if oside * oside != orows:
+        raise ValueError(f"HAT: OCAB bias table rows {orows} not a square")
+    owin = oside + 1 - ws
+    mlp_ratio = sd[f"{b0}.mlp.fc1.weight"].shape[0] / embed_dim
+    cab_mid = int(sd[f"{b0}.conv_block.cab.0.weight"].shape[0])
+    sq_mid = int(sd[f"{b0}.conv_block.cab.3.attention.1.weight"].shape[0])
+    return HATConfig(
+        scale=scale,
+        in_channels=in_channels,
+        out_channels=int(sd["conv_last.weight"].shape[0]),
+        window_size=ws,
+        embed_dim=embed_dim,
+        depths=depths,
+        num_heads=heads,
+        mlp_ratio=float(mlp_ratio),
+        qkv_bias=f"{b0}.attn.qkv.bias" in sd,
+        compress_ratio=max(1, round(embed_dim / cab_mid)),
+        squeeze_factor=max(1, round(embed_dim / sq_mid)),
+        overlap_ratio=owin / ws - 1.0,
+        num_feat=int(sd["conv_before_upsample.0.weight"].shape[0]),
+        patch_norm="patch_embed.norm.weight" in sd,
+    )
+
+
+def infer_dat_config(sd: Dict[str, np.ndarray], scale: int):
+    """DATConfig from a reference dat_arch.py state dict.  split_size is
+    not recoverable from weights (DynamicPosBias input is always 2-dim);
+    the published default (8, 16) is kept — pass a config explicitly for
+    exotic splits."""
+    from tpu_superresolution_tpu.core.config import DATConfig
+
+    if "before_RG.1.weight" not in sd:
+        raise ValueError(
+            "not a DAT checkpoint: missing 'before_RG.1.weight' — wrong --model?"
+        )
+    embed_dim = int(sd["conv_first.weight"].shape[0])
+    depths, heads = [], []
+    i = 0
+    while f"layers.{i}.blocks.0.norm1.weight" in sd:
+        j = 0
+        while f"layers.{i}.blocks.{j}.norm1.weight" in sd:
+            j += 1
+        depths.append(j)
+        # odd blocks are channel attention with temperature [nH, 1, 1]
+        if f"layers.{i}.blocks.1.attn.temperature" in sd:
+            heads.append(int(sd[f"layers.{i}.blocks.1.attn.temperature"].shape[0]))
+        else:  # depth-1 group: read from DynamicPosBias head count
+            heads.append(
+                int(sd[f"layers.{i}.blocks.0.attn.attns.0.pos.pos3.2.weight"].shape[0]) * 2
+            )
+        i += 1
+    if not depths:
+        raise ValueError("DAT checkpoint has no 'layers.*.blocks.*' keys")
+    b0 = "layers.0.blocks.0"
+    expansion = sd[f"{b0}.ffn.fc1.weight"].shape[0] / embed_dim
+    if "conv_before_upsample.0.weight" in sd:
+        upsampler = "pixelshuffle"
+        num_feat = int(sd["conv_before_upsample.0.weight"].shape[0])
+        out_channels = int(sd["conv_last.weight"].shape[0])
+    else:
+        upsampler = "pixelshuffledirect"
+        num_feat = 64
+        out_channels = int(sd["upsample.0.weight"].shape[0]) // (scale * scale)
+    return DATConfig(
+        scale=scale,
+        in_channels=int(sd["conv_first.weight"].shape[1]),
+        out_channels=out_channels,
+        embed_dim=embed_dim,
+        depths=tuple(depths),
+        num_heads=tuple(heads),
+        expansion_factor=float(expansion),
+        qkv_bias=f"{b0}.attn.qkv.bias" in sd,
+        upsampler=upsampler,
+        resi_connection="1conv" if "layers.0.conv.weight" in sd else "3conv",
+        num_feat=num_feat,
+    )
+
+
+def infer_msresunet_config(sd: Dict[str, np.ndarray], scale: int):
+    """MSResUNetConfig from a reference ms_resunet.py state dict: per-
+    stage bottleneck counts are counted; channel widths are verified
+    against the (only) published geometry and mismatches named."""
+    from tpu_superresolution_tpu.core.config import MSResUNetConfig
+
+    if "conv1.weight" not in sd or "clf_conv2.weight" not in sd:
+        raise ValueError(
+            "not an MS_ResUNet checkpoint: missing conv1/clf_conv2 — wrong --model?"
+        )
+    layers = []
+    for s in (1, 2, 3, 4):
+        b = 0
+        while f"layer{s}.{b}.conv1.weight" in sd:
+            b += 1
+        layers.append(b)
+    if 0 in layers:
+        raise ValueError(f"MS_ResUNet: empty encoder stage (counts {layers})")
+    cfg = MSResUNetConfig(scale=scale, layers=tuple(layers))
+    stem = int(sd["conv1.weight"].shape[0])
+    if stem != cfg.stem_channels:
+        raise ValueError(
+            f"MS_ResUNet: conv1 out={stem}, expected {cfg.stem_channels} "
+            "(non-default width; pass a config explicitly)"
+        )
+    return cfg
+
+
+def infer_config(model_name: str, sd: Dict[str, np.ndarray], scale: int):
+    """Dispatch: infer the model config for `model_name` from a torch
+    state dict, with clear errors for wrong-model / exotic checkpoints
+    (VERDICT round-2 item 10)."""
+    fns = {
+        "ms_resunet": infer_msresunet_config,
+        "swinir": infer_swinir_config,
+        "hat": infer_hat_config,
+        "dat": infer_dat_config,
+    }
+    if model_name not in fns:
+        raise ValueError(f"unknown model '{model_name}' (one of {sorted(fns)})")
+    return fns[model_name](sd, scale)

@@ -298,13 +298,18 @@ def upsample_and_last(
     time into ONE low-res conv + ONE pixel_shuffle
     (ops/fused_upsample.py) — same parameter tree, checkpoints are
     interchangeable; exact on the interior, differs from the chain on a
-    <=3-output-px border ring the tiler feather-blends away.
+    border ring of up to ~3 LOW-RES pixels, i.e. 3*scale output pixels
+    (12 output px at x4), which the tiler feather-blends away.
 
     Must be called from the owning module's compact __call__ (params are
     declared on `mdl` under the usual 'upsample'/'conv_last' names).
     """
     import math
 
+    if scale == 1:
+        # No upsampling stages to compose — the fused path would build an
+        # empty conv chain; the plain conv_last is already minimal.
+        fused = False
     if not fused:
         x = PixelShuffleUpsample(scale, num_feat, dt, name="upsample")(x)
         return nn.Conv(

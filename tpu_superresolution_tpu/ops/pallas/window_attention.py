@@ -288,7 +288,31 @@ def batched_window_attention(
     hd], bias [nH, N, N], mask [nW, N, N] or None) but without window
     packing — right for LARGE windows (DAT's rect windows, N=128).
     N must be a multiple of 8; the window count is padded to `group`
-    internally (mask phase preserved when nW % group == 0)."""
+    internally (mask phase preserved when nW % group == 0).
+
+    Differentiable: custom_vjp whose backward is jax.vjp over
+    window_attention_reference (DAT attention_impl='pallas' under
+    jax.grad works; the jnp path is DAT's measured-best anyway)."""
+
+    @jax.custom_vjp
+    def op(q, k, v, bias):
+        return _batched_forward(q, k, v, bias, mask, scale, interpret, group)
+
+    def op_fwd(q, k, v, bias):
+        return op(q, k, v, bias), (q, k, v, bias)
+
+    def op_bwd(res, ct):
+        _, vjp = jax.vjp(
+            lambda *a: window_attention_reference(*a, mask=mask, scale=scale),
+            *res,
+        )
+        return vjp(ct.astype(res[0].dtype))
+
+    op.defvjp(op_fwd, op_bwd)
+    return op(q, k, v, bias)
+
+
+def _batched_forward(q, k, v, bias, mask, scale, interpret, group):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     bw, nh, n, hd = q.shape
