@@ -1,0 +1,149 @@
+"""Fused OCAB core (ops/pallas/fused_ocab.py): forward and Pallas
+backward vs the jnp oracle, plus the megakernel v4 variant switches
+(interpret mode on the CPU mesh).  The HAT-model-level fused-vs-module
+equivalence is covered by test_fused_attention.py::test_hat_fused_impl_*."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_superresolution_tpu.ops.pallas import fused_ocab
+from tpu_superresolution_tpu.ops.pallas.fused_ocab import (
+    _reference_core,
+    fused_ocab_core,
+)
+
+
+def _mk_inputs(rng, bw=8, nqp=16, nkp=32, nh=2, hd=6, c=12, hid=24):
+    hdp = 32  # _prep_weights pads head dims to multiples of 32
+    cq = nh * hdp
+    r = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.1, jnp.float32)
+    qw = r(bw, nqp, cq)
+    kw = r(bw, nkp, cq)
+    vw = r(bw, nkp, cq)
+    # zero the pad lanes like the prepared qkv weights would, then plant
+    # the ones lane in v (the row-sum trick's contract)
+    lane_real = np.zeros((cq,), bool)
+    for h in range(nh):
+        lane_real[h * hdp : h * hdp + hd] = True
+    qw = jnp.where(jnp.asarray(lane_real), qw, 0.0)
+    kw = jnp.where(jnp.asarray(lane_real), kw, 0.0)
+    vw = jnp.where(jnp.asarray(lane_real), vw, 0.0)
+    ones_lane = np.zeros((cq,), bool)
+    for h in range(nh):
+        ones_lane[h * hdp + hd] = True
+    vw = jnp.where(jnp.asarray(ones_lane), 1.0, vw)
+    sw = r(bw, nqp, c)
+    # prepared wproj: zero rows at pad lanes
+    wp = r(cq, c)
+    wp = jnp.where(jnp.asarray(lane_real)[:, None], wp, 0.0)
+    bp = r(c)[0] * 0 + r(c)
+    weights = dict(
+        wp=wp, bp=r(c), g2=1.0 + r(c), b2=r(c),
+        wfc1=r(c, hid), bfc1=r(hid), wfc2=r(hid, c), bfc2=r(c),
+        bias=r(nh, nqp, nkp),
+    )
+    return qw, kw, vw, sw, weights, nh, hd, hdp
+
+
+def test_fused_ocab_forward_matches_oracle(rng):
+    qw, kw, vw, sw, wts, nh, hd, hdp = _mk_inputs(rng)
+    out = fused_ocab_core(
+        qw, kw, vw, sw, wts["wp"], wts["bp"], wts["g2"], wts["b2"],
+        wts["wfc1"], wts["bfc1"], wts["wfc2"], wts["bfc2"], wts["bias"],
+        nh, hd, gelu_approx=False, interpret=True,
+    )
+    ref = _reference_core(
+        qw, kw, vw, sw, wts["wp"], wts["bp"], wts["g2"], wts["b2"],
+        wts["wfc1"], wts["bfc1"], wts["wfc2"], wts["bfc2"], wts["bias"],
+        nh, hd, hdp, False,
+    )
+    assert np.max(np.abs(np.asarray(out) - np.asarray(ref))) < 1e-5
+
+
+@pytest.mark.parametrize("gelu_approx", [False, True])
+def test_fused_ocab_backward_matches_oracle(rng, gelu_approx):
+    """The Pallas backward kernel's grads (incl. accumulated weight and
+    bias grads) match jax.vjp over the jnp oracle."""
+    qw, kw, vw, sw, wts, nh, hd, hdp = _mk_inputs(rng)
+    order = ("wp", "bp", "g2", "b2", "wfc1", "bfc1", "wfc2", "bfc2", "bias")
+    args = (qw, kw, vw, sw) + tuple(wts[k] for k in order)
+
+    def loss_kernel(*a):
+        return jnp.sum(
+            fused_ocab_core(*a, nh, hd, gelu_approx=gelu_approx,
+                            interpret=True) ** 2
+        )
+
+    def loss_ref(*a):
+        return jnp.sum(_reference_core(*a, nh, hd, hdp, gelu_approx) ** 2)
+
+    gk = jax.grad(loss_kernel, argnums=tuple(range(len(args))))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(len(args))))(*args)
+    names = ("qw", "kw", "vw", "sw") + order
+    for name, a, b in zip(names, gk, gr):
+        a, b = np.asarray(a), np.asarray(b)
+        if name in ("qw", "kw", "vw"):
+            # pad-lane grads are defined only through the outside prep
+            # ops (zero weight columns / the ones-lane where) — compare
+            # real lanes
+            mask = np.zeros(a.shape[-1], bool)
+            for h in range(nh):
+                mask[h * hdp : h * hdp + hd] = True
+            a, b = a[..., mask], b[..., mask]
+        assert np.max(np.abs(a - b)) < 2e-4, f"{name}: {np.max(np.abs(a - b))}"
+
+
+def test_ocab_enable_flag_routes_module_path(rng):
+    """fused_ocab.ENABLE=False falls back to the unfused OCAB module and
+    matches the fused output (HAT model level)."""
+    from tpu_superresolution_tpu.core.config import HATConfig, build_model
+
+    cfg = HATConfig(
+        scale=2, img_size=16, window_size=4, embed_dim=12,
+        depths=(2,), num_heads=(2,), overlap_ratio=0.5,
+        compress_ratio=3, squeeze_factor=4,
+        mlp_ratio=2.0, attention_impl="fused", drop_path_rate=0.0,
+    )
+    x = jnp.asarray(rng.random((1, 16, 16, 3), dtype=np.float32))
+    model = build_model(cfg)
+    v = model.init(jax.random.key(0), x, train=False)
+    try:
+        fused_ocab.ENABLE = False
+        y_module = model.apply(v, x, train=False)
+    finally:
+        fused_ocab.ENABLE = True
+    y_fused = model.apply(v, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(y_fused), np.asarray(y_module), atol=3e-5
+    )
+
+
+@pytest.mark.parametrize("variant", ["exp2", "pair", "stackv", "exp2+pair+stackv"])
+def test_megakernel_variants_match_reference(rng, variant):
+    """The v4 megakernel variant switches (base-2 softmax, paired
+    windows, stacked-head GEMMs) are exact vs the jnp reference block.
+    Hardware ablation (PARITY.md round 3): all within noise of v3 —
+    kept selectable, v3 stays default."""
+    from tpu_superresolution_tpu.ops.pallas import fused_block as fb
+
+    B, H, W, C, nh, ws = 1, 32, 32, 36, 6, 8
+    n = ws * ws
+    r = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.1, jnp.float32)
+    x = r(B, H, W, C) * 10
+    args = (1.0 + r(C), r(C), r(C, 3 * C), r(3 * C), r(C, C), r(C),
+            1.0 + r(C), r(C), r(C, 2 * C), r(2 * C), r(2 * C, C), r(C),
+            r(nh, n, n))
+    nW = (H // ws) * (W // ws)
+    mask = np.zeros((nW, n, n), np.float32)
+    mask[::2, : n // 2, n // 2 :] = -100.0
+    mask[::2, n // 2 :, : n // 2] = -100.0
+    scales = jnp.asarray(rng.random((B, 2)), jnp.float32)
+
+    ref = fb._reference_block(x, *args, scales, ws, mask, 0.3, True)
+    out = fb.fused_swin_block(
+        x, *args, ws, mask=mask, scale=0.3, gelu_approx=True,
+        interpret=True, branch_scales=scales, variant=variant,
+    )
+    assert np.max(np.abs(np.asarray(out) - np.asarray(ref))) < 1e-5

@@ -364,6 +364,19 @@ class OCAB(nn.Module):
         nh = self.num_heads
         hd = c // nh
 
+        from tpu_superresolution_tpu.ops.pallas import fused_ocab
+        from tpu_superresolution_tpu.ops.pallas.window_attention import (
+            resolve_attention_impl,
+        )
+
+        if (
+            fused_ocab.ENABLE
+            and resolve_attention_impl(self.attn_impl) == "fused"
+            and h % ws == 0
+            and w % ws == 0
+        ):
+            return self._fused(x)
+
         shortcut = x
         x = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm1")(x)
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, kernel_init=_TRUNC02,
@@ -410,6 +423,100 @@ class OCAB(nn.Module):
         y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype,
                 gelu_approximate=self.gelu_approximate, name="mlp")(y)
         return x + y
+
+    def _fused(self, x):
+        """Fused OCAB: the qkv GEMM (head-padded prepared weights) and
+        the static overlap gather run as XLA ops; attention -> proj ->
+        residual -> LN2 -> MLP -> residual run as ONE Pallas program per
+        window group with a Pallas backward (ops/pallas/fused_ocab.py).
+        Same parameter tree as the module path (checkpoints
+        interchangeable).  Reference: hat_arch.py:353-439."""
+        from tpu_superresolution_tpu.models.blocks import (
+            DenseParams,
+            LayerNormParams,
+            MlpParams,
+        )
+        from tpu_superresolution_tpu.ops.pallas.fused_attention import (
+            _prep_weights,
+        )
+        from tpu_superresolution_tpu.ops.pallas.fused_block import _ln
+        from tpu_superresolution_tpu.ops.pallas.fused_ocab import (
+            fused_ocab_core,
+        )
+
+        b, h, w, c = x.shape
+        ws = self.window_size
+        ows = int(self.overlap_ratio * ws) + ws
+        nh = self.num_heads
+        hd = c // nh
+        dt = self.dtype
+
+        g1, b1 = LayerNormParams(name="norm1")(c)
+        wqkv, bqkv = DenseParams(3 * c, kernel_init=_TRUNC02,
+                                 use_bias=self.qkv_bias, name="qkv")(c)
+        wproj, bproj = DenseParams(c, kernel_init=_TRUNC02, name="proj")(c)
+        g2, b2 = LayerNormParams(name="norm2")(c)
+        w1, bb1, w2, bb2 = MlpParams(
+            int(self.dim * self.mlp_ratio), self.dim, name="mlp"
+        )(c)
+        table = self.param("relative_position_bias_table", _TRUNC02,
+                           ((ws + ows - 1) ** 2, nh))
+        rpi = relative_position_index_oca(ws, ows)
+        bias = table[rpi.reshape(-1)].reshape(ws * ws, ows * ows, nh)
+        bias = bias.transpose(2, 0, 1)  # [nh, Nq, Nk]
+
+        wprep, bqp, wp, _bp, hdp = _prep_weights(
+            wqkv, bqkv, wproj, bproj, nh, hd**-0.5
+        )
+        koff = nh * hdp
+        if hdp > hd:
+            # ones-lane for MXU row sums (see fused_block._mega_forward);
+            # re-planted after the gather because the overlap gather's
+            # zero border padding zeroes it at image edges
+            ones_cols = np.asarray([2 * koff + hh * hdp + hd for hh in range(nh)])
+            bqp = bqp.at[0, ones_cols].set(1.0)
+
+        ln1 = _ln(x.astype(jnp.float32), g1, b1).astype(dt)
+        qkvp = ln1 @ wprep.astype(dt) + bqp.astype(dt)  # [B,H,W,3*koff]
+        q_sec = qkvp[..., :koff]
+        k_sec = qkvp[..., koff : 2 * koff]
+        v_sec = qkvp[..., 2 * koff :]
+
+        nwh, nww = h // ws, w // ws
+        nw = nwh * nww
+        nq, nk = ws * ws, ows * ows
+        qw = window_partition(q_sec, ws).reshape(b * nw, nq, koff)
+        kw = _overlap_windows(k_sec, ws, ows).reshape(b * nw, nk, koff)
+        vw = _overlap_windows(v_sec, ws, ows).reshape(b * nw, nk, koff)
+        if hdp > hd:
+            lane = np.zeros((koff,), bool)
+            lane[[hh * hdp + hd for hh in range(nh)]] = True
+            vw = jnp.where(jnp.asarray(lane), jnp.asarray(1.0, vw.dtype), vw)
+        sw = window_partition(x.astype(dt), ws).reshape(b * nw, nq, c)
+
+        nqp = nq + (-nq) % 8
+        nkp = nk + (-nk) % 8
+        group = 8
+        bwpad = (-(b * nw)) % group
+        bias_p = jnp.pad(
+            bias.astype(jnp.float32),
+            ((0, 0), (0, nqp - nq), (0, nkp - nk)),
+            constant_values=-1e9,
+        )
+
+        def pad3(a, ntok):
+            return jnp.pad(
+                a, ((0, bwpad), (0, ntok - a.shape[1]), (0, 0))
+            )
+
+        out_w = fused_ocab_core(
+            pad3(qw, nqp), pad3(kw, nkp), pad3(vw, nkp), pad3(sw, nqp),
+            wp, bproj, g2, b2, w1, bb1, w2, bb2, bias_p,
+            nh, hd, gelu_approx=self.gelu_approximate,
+            group=group,
+        )
+        out_w = out_w[: b * nw, :nq]
+        return window_reverse(out_w, ws, h, w).astype(x.dtype)
 
 
 class RHAG(nn.Module):

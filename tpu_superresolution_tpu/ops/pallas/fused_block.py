@@ -57,6 +57,31 @@ from tpu_superresolution_tpu.ops.pallas.fused_attention import _prep_weights
 # tensors in HBM).
 KERNEL_BACKWARD = True
 
+# Default forward-kernel variant (see _kernel's v4 switches).  "+"-joined
+# tokens: "exp2" (base-2 softmax on pre-scaled logits), "pair"/"pair4"
+# (2/4 windows per score block -> full-lane VPU softmax), "stackv"
+# (stacked-head batched GEMMs + multi-contract proj).  Set per call via
+# fused_swin_block(variant=...) or globally here.
+MEGA_VARIANT = "v3"
+
+
+def _variant_kwargs(variant: str) -> dict:
+    kw = {"use_exp2": False, "pairw": 1, "stackv": False}
+    for tok in variant.split("+"):
+        if tok in ("v3", ""):
+            continue
+        if tok == "exp2":
+            kw["use_exp2"] = True
+        elif tok == "pair":
+            kw["pairw"] = 2
+        elif tok == "pair4":
+            kw["pairw"] = 4
+        elif tok == "stackv":
+            kw["stackv"] = True
+        else:
+            raise ValueError(f"unknown megakernel variant token '{tok}'")
+    return kw
+
 
 def megakernel_tpu_ok(ws: int, w: int) -> bool:
     """Mosaic requires a block's last two dims to be (8, 128)-divisible
@@ -102,12 +127,26 @@ def _gelu(x, approximate):
 
 def _kernel(x_ref, *refs,
             num_heads, hdp, ws, p, c, cdt, gelu_approx,
-            has_extra, has_mask, n=None, sample_blocks=0):
+            has_extra, has_mask, n=None, sample_blocks=0,
+            use_exp2=False, pairw=1, stackv=False):
     # Strip mode (default): blocks are (1, p*ws, ws, C) vertical strips,
     # grid (B, nchunks, nww), mask blocks (p, 1, n, n).  Packed mode
     # (n given, sample_blocks>0): blocks are (G, n, C) pre-partitioned
     # windows, 1-D grid over window blocks, mask blocks (G, n, n), and
     # the sample index is block_id // sample_blocks.
+    #
+    # v4 variant switches (ablated on hardware — see PARITY.md):
+    # - use_exp2: softmax in base-2.  The caller pre-scales q weights,
+    #   rpb and mask by log2(e) at trace time, so exp(S-m) == exp2 of the
+    #   pre-scaled scores — zero extra in-kernel ops if the VPU's exp2 is
+    #   cheaper than exp.
+    # - pairw: windows per score block.  N=64 scores occupy half a lane
+    #   register; pairing two windows block-diagonally gives [2N, 2N]
+    #   = full 128-lane VPU ops for max/exp and a K=128 AV GEMM, at the
+    #   cost of 2x score-GEMM FLOPs (the -1e9 off-diagonal pair entries).
+    # - stackv: replace the per-head AV loop + lane-concat with stacked
+    #   [nH, P, N, hdp] batched GEMMs and a single multi-contract proj
+    #   GEMM (K = nH*hdp = 192) against wproj reshaped [nH, hdp, C].
     refs = list(refs)
     e_ref = refs.pop(0) if has_extra else None
     # [B, 2] SMEM (whole array — Mosaic requires SMEM blocks be full or
@@ -155,39 +194,90 @@ def _kernel(x_ref, *refs,
     mxu_sum = hdp > hd
     koff = num_heads * hdp
     voff = 2 * koff
-    ss = []
-    for h in range(num_heads):
-        q = qkv[:, h * hdp : (h + 1) * hdp].reshape(p, n, hdp)
-        k = qkv[:, koff + h * hdp : koff + (h + 1) * hdp].reshape(p, n, hdp)
-        s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [P, N, N]
-        ss.append(s + rpb_ref[h][None])
-    S = jnp.stack(ss)  # [nH, P, N, N] fp32
+    pp = p // pairw
+    n2 = n * pairw
+
+    def head_slice(off, h):
+        # window tokens are contiguous rows, so regrouping pairw windows
+        # per score block is the same free sublane split
+        return qkv[:, off + h * hdp : off + (h + 1) * hdp].reshape(pp, n2, hdp)
+
+    mterm = None
     if has_mask:
-        mterm = mask_ref[:] if sample_blocks else mask_ref[:, 0]
-        S = S + mterm[None]
+        mterm = mask_ref[:] if sample_blocks else mask_ref[:, 0]  # [PP, N2, N2]
+    if stackv:
+        # Mosaic's tpu.matmul supports at most ONE batch dim (measured —
+        # the [nH, PP] two-batch-dim form is a verification error), so
+        # heads and window groups merge into a single [nH*PP] batch.
+        nb = num_heads * pp
+        qs = jnp.stack(
+            [head_slice(0, h) for h in range(num_heads)]
+        ).reshape(nb, n2, hdp)
+        ks = jnp.stack(
+            [head_slice(koff, h) for h in range(num_heads)]
+        ).reshape(nb, n2, hdp)
+        S = jax.lax.dot_general(
+            qs, ks, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [nH*PP, N2, N2]
+        S = S + jnp.broadcast_to(
+            rpb_ref[:][:, None], (num_heads, pp, n2, n2)
+        ).reshape(nb, n2, n2)
+        if has_mask:
+            S = S + jnp.broadcast_to(
+                mterm[None], (num_heads, pp, n2, n2)
+            ).reshape(nb, n2, n2)
+    else:
+        ss = []
+        for h in range(num_heads):
+            s = jax.lax.dot_general(
+                head_slice(0, h), head_slice(koff, h),
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [PP, N2, N2]
+            ss.append(s + rpb_ref[h][None])
+        S = jnp.stack(ss)  # [nH, PP, N2, N2] fp32
+        if has_mask:
+            S = S + mterm[None]
     m = jnp.max(S, axis=-1, keepdims=True)
-    E = jnp.exp(S - m)
+    E = jnp.exp2(S - m) if use_exp2 else jnp.exp(S - m)
     if not mxu_sum:
         E = E / jnp.sum(E, axis=-1, keepdims=True)
     E = E.astype(cdt)
-    outs = []
-    for h in range(num_heads):
-        v = qkv[:, voff + h * hdp : voff + (h + 1) * hdp].reshape(p, n, hdp)
+    if stackv:
+        vs = jnp.stack(
+            [head_slice(voff, h) for h in range(num_heads)]
+        ).reshape(nb, n2, hdp)
         o = jax.lax.dot_general(
-            E[h], v, (((2,), (1,)), ((0,), (0,))),
+            E, vs, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # [P, N, hdp]
+        )  # [nH*PP, N2, hdp]
         if mxu_sum:
-            o = o * (1.0 / o[:, :, hd : hd + 1])
-        outs.append(o.reshape(t, hdp).astype(cdt))
-    o_cat = jnp.concatenate(outs, axis=-1)  # [T, nH*hdp]
-    attn = jax.lax.dot_general(
-        o_cat, wproj_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bproj_ref[:]
+            o = o * (1.0 / o[..., hd : hd + 1])
+        o3 = o.reshape(num_heads, t, hdp).astype(cdt)
+        # proj as per-head batched GEMM + head-sum (wproj_ref is
+        # [nH, hdp, C] in this mode); a 2-contracting-dim dot_general is
+        # also outside tpu.matmul's support
+        om = jax.lax.dot_general(
+            o3, wproj_ref[:], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [nH, T, C]
+        attn = jnp.sum(om, axis=0) + bproj_ref[:]
+    else:
+        outs = []
+        for h in range(num_heads):
+            o = jax.lax.dot_general(
+                E[h], head_slice(voff, h), (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [PP, N2, hdp]
+            if mxu_sum:
+                o = o * (1.0 / o[:, :, hd : hd + 1])
+            outs.append(o.reshape(t, hdp).astype(cdt))
+        o_cat = jnp.concatenate(outs, axis=-1)  # [T, nH*hdp]
+        attn = jax.lax.dot_general(
+            o_cat, wproj_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bproj_ref[:]
 
     # Per-sample stochastic-depth scales (hat_arch.py:12-38 semantics,
     # mask/keep in {0, 1/keep}); 1.0 at inference.  The CAB `extra` term
@@ -429,7 +519,7 @@ def _reference_block(x, g1, b1, wqkv, bqkv, wproj, bproj,
 def _mega_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
                   wfc1, bfc1, wfc2, bfc2, bias, scales,
                   ws, mask, scale, gelu_approx, interpret, extra=None,
-                  max_p=16):
+                  max_p=16, use_exp2=False, pairw=1, stackv=False):
     b, hh, www, c = x.shape
     nh = bias.shape[0]
     nwh, nww = hh // ws, www // ws
@@ -445,8 +535,13 @@ def _mega_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
             break
     nchunks = nwh // p
     t = p * n
+    if p % pairw:
+        pairw = 1
+    n2 = n * pairw
 
-    w, bq, wp, bp, hdp = _prep_weights(wqkv, bqkv, wproj, bproj, nh, scale)
+    _LOG2E = np.float32(1.4426950408889634)
+    sc_eff = scale * float(_LOG2E) if use_exp2 else scale
+    w, bq, wp, bp, hdp = _prep_weights(wqkv, bqkv, wproj, bproj, nh, sc_eff)
     hd = c // nh
     if hdp > hd:
         # Constant-1.0 column at each head's first v pad lane: since the
@@ -458,6 +553,18 @@ def _mega_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
         ones_cols = [2 * koff + h * hdp + hd for h in range(nh)]
         bq = bq.at[0, np.asarray(ones_cols)].set(1.0)
 
+    bias_eff = bias.astype(jnp.float32)
+    if use_exp2:
+        bias_eff = bias_eff * _LOG2E
+    if pairw > 1:
+        # Block-diagonal window pairing: rpb on the diagonal, -1e9 off
+        # (cross-window pair entries vanish under softmax)
+        rpb = jnp.full((nh, n2, n2), -1e9, jnp.float32)
+        for i in range(pairw):
+            rpb = jax.lax.dynamic_update_slice(rpb, bias_eff, (0, i * n, i * n))
+    else:
+        rpb = bias_eff
+
     dtype = x.dtype
     cdt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
     row = lambda a: a.reshape(1, -1)
@@ -466,6 +573,7 @@ def _mega_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
         _kernel, num_heads=nh, hdp=hdp, ws=ws, p=p, c=c, cdt=cdt,
         gelu_approx=gelu_approx,
         has_extra=extra is not None, has_mask=mask is not None,
+        use_exp2=use_exp2, pairw=pairw, stackv=stackv,
     )
 
     grid = (b, nchunks, nww)
@@ -474,6 +582,13 @@ def _mega_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
         return (bb, r, cc, 0)
 
     const = lambda *shape: (lambda bb, r, cc: tuple([0] * len(shape)))
+
+    if stackv:
+        wp_arr = wp.reshape(nh, hdp, c)
+        wp_spec = pl.BlockSpec((nh, hdp, c), const(0, 0, 0), memory_space=pltpu.VMEM)
+    else:
+        wp_arr = wp
+        wp_spec = pl.BlockSpec((wp.shape[0], c), const(0, 0), memory_space=pltpu.VMEM)
 
     xspec = pl.BlockSpec((1, p * ws, ws, c), xmap, memory_space=pltpu.VMEM)
     scspec = pl.BlockSpec(
@@ -486,7 +601,7 @@ def _mega_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
         + [
             pl.BlockSpec((c, w.shape[1]), const(0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq.shape[1]), const(0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((wp.shape[0], c), const(0, 0), memory_space=pltpu.VMEM),
+            wp_spec,
             pl.BlockSpec((1, c), const(0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), const(0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), const(0, 0), memory_space=pltpu.VMEM),
@@ -496,7 +611,7 @@ def _mega_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
             pl.BlockSpec((1, wfc1.shape[1]), const(0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(wfc2.shape, const(0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), const(0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nh, n, n), const(0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nh, n2, n2), const(0, 0, 0), memory_space=pltpu.VMEM),
         ]
     )
 
@@ -506,21 +621,30 @@ def _mega_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
     args += [
         scales.astype(jnp.float32),
         w.astype(cdt), row(bq),
-        wp.astype(cdt), row(bp),
+        wp_arr.astype(cdt), row(bp),
         row(g1.astype(jnp.float32)), row(b1.astype(jnp.float32)),
         row(g2.astype(jnp.float32)), row(b2.astype(jnp.float32)),
         wfc1.astype(cdt), row(bfc1.astype(jnp.float32)),
         wfc2.astype(cdt), row(bfc2.astype(jnp.float32)),
-        bias.astype(jnp.float32),
+        rpb,
     ]
 
     if mask is not None:
         # [nW, N, N] window-row-major -> [nwh, nww, N, N]; the strip at
         # grid (b, r, cc) covers window rows [r*P, (r+1)*P) in column cc.
         mask4 = np.asarray(mask, np.float32).reshape(nwh, nww, n, n)
+        if use_exp2:
+            mask4 = mask4 * float(_LOG2E)
+        if pairw > 1:
+            # paired: row r2 holds blockdiag(mask of window row
+            # pairw*r2 + i for i in range(pairw)) per column
+            m2 = np.zeros((nwh // pairw, nww, n2, n2), np.float32)
+            for i in range(pairw):
+                m2[:, :, i * n : (i + 1) * n, i * n : (i + 1) * n] = mask4[i::pairw]
+            mask4 = m2
         in_specs.append(
             pl.BlockSpec(
-                (p, 1, n, n),
+                (p // pairw, 1, n2, n2),
                 lambda bb, r, cc: (r, cc, 0, 0),
                 memory_space=pltpu.VMEM,
             )
@@ -680,7 +804,7 @@ def fused_swin_block(
     x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
     wfc1, bfc1, wfc2, bfc2, bias,
     ws, mask=None, scale=1.0, gelu_approx=True, interpret=None,
-    extra=None, branch_scales=None,
+    extra=None, branch_scales=None, variant=None,
 ):
     """Full Swin transformer block on a (pre-rolled) [B, H, W, C] map.
 
@@ -704,6 +828,7 @@ def fused_swin_block(
         interpret = jax.default_backend() != "tpu"
     if branch_scales is None:
         branch_scales = jnp.ones((x.shape[0], 2), jnp.float32)
+    vkw = _variant_kwargs(MEGA_VARIANT if variant is None else variant)
 
     if extra is None:
 
@@ -713,7 +838,7 @@ def fused_swin_block(
             return _mega_forward(
                 x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
                 wfc1, bfc1, wfc2, bfc2, bias, scales,
-                ws, mask, scale, gelu_approx, interpret,
+                ws, mask, scale, gelu_approx, interpret, **vkw,
             )
 
         def op_fwd(*args):
@@ -741,7 +866,7 @@ def fused_swin_block(
         return _mega_forward(
             x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
             wfc1, bfc1, wfc2, bfc2, bias, scales,
-            ws, mask, scale, gelu_approx, interpret, extra=extra,
+            ws, mask, scale, gelu_approx, interpret, extra=extra, **vkw,
         )
 
     def op_ex_fwd(*args):
