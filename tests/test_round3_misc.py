@@ -208,3 +208,32 @@ class TestBatchedAttentionGrad:
         g_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
         for a, b in zip(g_k, g_r):
             assert np.max(np.abs(np.asarray(a) - np.asarray(b))) < 1e-4
+
+
+class TestCompareCli:
+    def test_side_by_side_report(self, tmp_path):
+        """cli.compare rebuilds the lost report_creator.ipynb capability
+        (.MISSING_LARGE_BLOBS:1-13): labeled [LR|bicubic|A|B|HR] panels
+        + per-model metrics."""
+        import sys
+
+        sys.path.insert(0, "/root/repo/tests")
+        from util_fakedata import make_deeprock_dataset
+
+        from tpu_superresolution_tpu.cli.compare import main
+
+        root = make_deeprock_dataset(tmp_path, n_per_split=2, hr_size=32,
+                                     scale="X2")
+        tmodel, _sd = _nondefault_swinir_sd(
+            scale=2, embed_dim=24, depths=(2,), heads=(2,), window_size=4,
+            upsampler="pixelshuffledirect",
+        )
+        pt = tmp_path / "m.pt"
+        torch.save(tmodel.state_dict(), pt)
+        out = tmp_path / "report"
+        main(["--data_root", str(root), "--scale", "X2",
+              "--ckpt_a", str(pt), "--model_a", "swinir", "--name_a", "A",
+              "--ckpt_b", str(pt), "--model_b", "swinir", "--name_b", "B",
+              "--indices", "1", "--out_dir", str(out)])
+        files = sorted(p.name for p in out.iterdir())
+        assert files == ["A_vs_B_x2_test_0001.png"]

@@ -61,6 +61,40 @@ def _load_torch_checkpoint(model_name: str, path: str, scale: int, exact: bool):
     return mcfg, convert_dat(sd)
 
 
+def load_any_checkpoint(ckpt: str, model_name: str, scale_int: int,
+                        exact=None):
+    """Load a torch .pt/.pth (architecture inferred from tensor shapes)
+    or an Orbax checkpoint dir (config embedded).  Returns
+    (model_config, model, variables).  `exact=None` defaults to
+    reference-exact semantics for torch checkpoints only."""
+    if ckpt.endswith((".pt", ".pth")):
+        ex = True if exact is None else exact
+        mcfg, variables = _load_torch_checkpoint(model_name, ckpt, scale_int, ex)
+        return mcfg, build_model(mcfg), variables
+
+    from tpu_superresolution_tpu.train.checkpoint import (
+        load_weights_only,
+        model_config_from_checkpoint,
+    )
+
+    mcfg = model_config_from_checkpoint(ckpt) or MSResUNetConfig(scale=scale_int)
+    if exact:
+        import dataclasses
+
+        over = {
+            k: v
+            for k, v in (("fused_reconstruct", False), ("gelu_approximate", False))
+            if hasattr(mcfg, k)
+        }
+        if over:
+            mcfg = dataclasses.replace(mcfg, **over)
+    restored, _meta = load_weights_only(ckpt)
+    variables = {"params": restored["params"]}
+    if restored.get("batch_stats"):
+        variables["batch_stats"] = restored["batch_stats"]
+    return mcfg, build_model(mcfg), variables
+
+
 def build_argparser():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--scale", type=str, choices=["X2", "X4"], required=True)
