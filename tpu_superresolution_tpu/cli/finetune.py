@@ -43,6 +43,10 @@ def build_argparser():
     ap.add_argument("--min_lr", type=float, default=2e-6)
     ap.add_argument("--grad_clip", type=float, default=1.0)
     ap.add_argument("--workdir", type=str, default=".")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="data-parallel shards over the device mesh (0 = single device)")
+    ap.add_argument("--early_stop_patience", type=int, default=None,
+                    help="stop after N epochs without val-loss improvement")
     # architecture overrides (default = SwinIR-M, the reference's config;
     # smaller values for smoke tests)
     ap.add_argument("--embed_dim", type=int, default=180)
@@ -76,6 +80,8 @@ def main(argv=None):
         scheduler=args.scheduler.lower(), min_lr=args.min_lr,
         grad_clip_norm=args.grad_clip, seed=args.seed,
         freeze_regex=args.freeze_regex, finetune=True,
+        early_stop_patience=args.early_stop_patience,
+        dp_shards=args.dp,
     )
 
     idx_tr = PairedIndex(args.data_root, "train", args.scale)
