@@ -1,6 +1,9 @@
 """HAT whole-forward A/B: fused OCAB (round 3) vs unfused OCAB (round 2
 behavior), plus train-step fwd/bwd split (VERDICT r2 items 2 and 4).
 
+Whole-model times (>10 ms) use plain host-loop timing (reliable over
+the tunnel per CLAUDE.md); candidates interleave across rounds.
+
 Run on the TPU: python experiments/hat_ocab_ablate.py
 """
 
@@ -20,7 +23,19 @@ import numpy as np
 
 from tpu_superresolution_tpu.core.config import HATConfig, build_model
 from tpu_superresolution_tpu.ops.pallas import fused_ocab
-from tpu_superresolution_tpu.utils.ablate import ablate, report
+
+
+def timed(fn, *args, rounds=5, inner=5):
+    best = None
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(inner):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / inner
+        best = dt if best is None else min(best, dt)
+    return best
 
 
 def main():
@@ -31,56 +46,72 @@ def main():
     model = build_model(cfg, dtype=jnp.bfloat16)
     variables = model.init(jax.random.key(0), x[:, :64, :64], train=False)
 
-    def fwd():
-        return model.apply(variables, x, train=False).astype(jnp.float32)
+    fns = {}
+    for flag, tag in ((True, "ocab_fused"), (False, "ocab_unfused")):
+        def mk(flag=flag):
+            @jax.jit
+            def run(x):
+                fused_ocab.ENABLE = flag
+                return model.apply(variables, x, train=False)
+            return run
+        fns[tag] = mk()
+        t0 = time.perf_counter()
+        jax.block_until_ready(fns[tag](x))
+        print(f"[compile] {tag}: {time.perf_counter() - t0:.0f}s", flush=True)
 
-    # unfused thunk: toggling the flag between traces gives two compiled
-    # programs; each jit in ablate() captures its flag state at trace
-    def mk(flag):
-        def thunk():
-            fused_ocab.ENABLE = flag
-            return model.apply(variables, x, train=False).astype(jnp.float32)
-        return thunk
+    a = fns["ocab_fused"](x).astype(jnp.float32)
+    b = fns["ocab_unfused"](x).astype(jnp.float32)
+    print(f"[check] fused-vs-unfused max|diff| = {float(jnp.max(jnp.abs(a - b))):.3e}",
+          flush=True)
 
-    # correctness: fused vs unfused whole model
-    fused_ocab.ENABLE = True
-    a = jax.block_until_ready(jax.jit(fwd)())
-    fused_ocab.ENABLE = False
-    b = jax.block_until_ready(jax.jit(lambda: model.apply(variables, x, train=False).astype(jnp.float32))())
-    print(f"[check] fused-vs-unfused OCAB max|diff| = {float(jnp.max(jnp.abs(a - b))):.3e}", flush=True)
-    fused_ocab.ENABLE = True
-
-    res = ablate({"ocab_fused": mk(True), "ocab_unfused": mk(False)},
-                 inner=10, rounds=5)
-    print("\n=== HAT 256x256 x4 bf16 whole forward (ms) ===", flush=True)
-    print(report(res), flush=True)
+    times = {t: [] for t in fns}
+    for r in range(5):
+        for tag, fn in fns.items():
+            times[tag].append(timed(fn, x, rounds=1, inner=5))
+    print("\n=== HAT 256x256 x4 bf16 whole forward ===", flush=True)
+    for tag, ts in times.items():
+        print(f"{tag:14s} min {min(ts)*1e3:7.2f} ms  median {sorted(ts)[len(ts)//2]*1e3:7.2f} ms",
+              flush=True)
 
     # ---- train-step fwd/bwd split (b8, 64px LR, x4) ----
     xb = jnp.asarray(rng.random((8, 64, 64, 3), np.float32), jnp.bfloat16)
     yb = jnp.asarray(rng.random((8, 256, 256, 3), np.float32), jnp.bfloat16)
     vtrain = model.init(jax.random.key(0), xb, train=False)
+    params = vtrain["params"]
 
     def loss_fn(params):
         out = model.apply({"params": params}, xb, train=False)
         return jnp.mean(jnp.abs(out.astype(jnp.float32) - yb.astype(jnp.float32)))
 
-    params = vtrain["params"]
-
-    def fwd_only():
-        return loss_fn(params)
-
-    def fwd_bwd():
-        l, g = jax.value_and_grad(loss_fn)(params)
-        return l + jax.tree_util.tree_reduce(
-            lambda a, b_: a + jnp.sum(jnp.abs(b_).astype(jnp.float32)) * 0.0, g, 0.0
-        )
-
+    tfns = {}
     for flag, tag in ((True, "fused"), (False, "unfused")):
-        fused_ocab.ENABLE = flag
-        res2 = ablate({f"{tag}_fwd": fwd_only, f"{tag}_fwd_bwd": fwd_bwd},
-                      inner=10, rounds=4)
-        print(f"\n=== HAT train-step split (b8 64px x4, OCAB {tag}) ===", flush=True)
-        print(report(res2), flush=True)
+        def mk_f(flag=flag):
+            @jax.jit
+            def f(p):
+                fused_ocab.ENABLE = flag
+                return loss_fn(p)
+            return f
+        def mk_fb(flag=flag):
+            @jax.jit
+            def fb(p):
+                fused_ocab.ENABLE = flag
+                l, g = jax.value_and_grad(loss_fn)(p)
+                return l, jax.tree_util.tree_map(lambda a: jnp.sum(a), g)
+            return fb
+        for name, fn in ((f"{tag}_fwd", mk_f()), (f"{tag}_fwd_bwd", mk_fb())):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(params))
+            print(f"[compile] {name}: {time.perf_counter() - t0:.0f}s", flush=True)
+            tfns[name] = fn
+
+    times = {t: [] for t in tfns}
+    for r in range(5):
+        for tag, fn in tfns.items():
+            times[tag].append(timed(fn, params, rounds=1, inner=5))
+    print("\n=== HAT train split (b8 64px x4, ms) ===", flush=True)
+    for tag, ts in times.items():
+        print(f"{tag:16s} min {min(ts)*1e3:7.2f}  median {sorted(ts)[len(ts)//2]*1e3:7.2f}",
+              flush=True)
     fused_ocab.ENABLE = True
 
 

@@ -1,10 +1,16 @@
 """Whole-model SwinIR-M A/B of megakernel variants + current-state
-forward timing (256x256 x4 bf16, untiled)."""
+forward timing (256x256 x4 bf16, untiled).
+
+Whole-model times (>10 ms) are reliable with plain host-loop timing
+over the tunnel (CLAUDE.md); jit each variant once, interleave rounds.
+"""
 
 import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import time
 
 import jax
 
@@ -15,7 +21,6 @@ import numpy as np
 
 from tpu_superresolution_tpu.core.config import SwinIRConfig, build_model
 from tpu_superresolution_tpu.ops.pallas import fused_block as fb
-from tpu_superresolution_tpu.utils.ablate import ablate, report
 from tpu_superresolution_tpu.utils.flops import mfu, swinir_flops
 
 VARIANTS = sys.argv[1:] or ["v3", "exp2", "stackv"]
@@ -29,18 +34,36 @@ def main():
     x = jnp.asarray(rng.random((1, 256, 256, 3), np.float32), jnp.bfloat16)
     variables = model.init(jax.random.key(0), x[:, :64, :64], train=False)
 
-    def mk(variant):
-        def thunk():
-            fb.MEGA_VARIANT = variant
-            return model.apply(variables, x, train=False).astype(jnp.float32)
-        return thunk
+    fns = {}
+    for v in VARIANTS:
+        def mk(v=v):
+            @jax.jit
+            def run(x):
+                fb.MEGA_VARIANT = v
+                return model.apply(variables, x, train=False)
+            return run
+        fns[v] = mk()
+        t0 = time.perf_counter()
+        jax.block_until_ready(fns[v](x))
+        print(f"[compile] {v}: {time.perf_counter() - t0:.1f}s", flush=True)
 
-    res = ablate({v: mk(v) for v in VARIANTS}, inner=10, rounds=5)
-    print("\n=== SwinIR-M 256x256 x4 bf16 whole forward (ms) ===", flush=True)
-    print(report(res), flush=True)
+    times = {v: [] for v in VARIANTS}
+    for r in range(6):
+        for v, fn in fns.items():
+            n = 10
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(n):
+                out = fn(x)
+            jax.block_until_ready(out)
+            times[v].append((time.perf_counter() - t0) / n)
+    print("\n=== SwinIR-M 256x256 x4 bf16 whole forward ===", flush=True)
     fl = swinir_flops(cfg, 256, 256)
-    best = min(r.min_s for r in res.values())
-    print(f"\nflops/fwd = {fl/1e9:.1f} GFLOP; best MFU = {mfu(fl, best):.1%}", flush=True)
+    for v, ts in sorted(times.items(), key=lambda kv: min(kv[1])):
+        best = min(ts[1:])  # drop round 0 (cold caches)
+        med = sorted(ts[1:])[len(ts[1:]) // 2]
+        print(f"{v:10s} min {best*1e3:7.2f} ms  median {med*1e3:7.2f} ms  "
+              f"MFU {mfu(fl, best):.1%}", flush=True)
     fb.MEGA_VARIANT = "v3"
 
 

@@ -123,10 +123,11 @@ def build_argparser():
                          "bounds peak HBM at production whole-image sizes")
     ap.add_argument("--exact", action=argparse.BooleanOptionalAction, default=None,
                     help="reference-exact semantics: disable fused_reconstruct "
-                         "and tanh-gelu approximations.  Default: on for torch "
-                         ".pt/.pth checkpoints (published-checkpoint metrics "
-                         "stay reference-exact), off for Orbax checkpoints "
-                         "(the config in the checkpoint rules)")
+                         "and tanh-gelu approximations.  DEFAULT ON — reported "
+                         "PSNR/SSIM is metric-exact (the fused border ring was "
+                         "measured at up to ~0.05 dB worst-case metric impact, "
+                         "PARITY.md round 3).  --no-exact evaluates the "
+                         "production-speed path instead (~12%% faster forward)")
     ap.add_argument("--no_baseline", action="store_true")
     ap.add_argument("--dp", type=int, default=0,
                     help="shard the tile batch across N mesh devices "
@@ -157,7 +158,7 @@ def main(argv=None):
         )
 
         mcfg = model_config_from_checkpoint(args.ckpt) or MSResUNetConfig(scale=scale_int)
-        if args.exact:
+        if args.exact is None or args.exact:
             import dataclasses
 
             over = {
