@@ -68,6 +68,40 @@ def main(argv=None):
         scale=scale_int, embed_dim=args.embed_dim, depths=depths,
         num_heads=heads, window_size=args.window_size,
     )  # defaults = SwinIR-M
+    if args.weights and args.weights.endswith((".pth", ".pt")):
+        # Infer the architecture from the checkpoint's tensor shapes so
+        # non-default published checkpoints fine-tune without guessing
+        # flags (interop.infer_config); explicit flags must agree.
+        import dataclasses
+
+        from tpu_superresolution_tpu.interop import infer_config, load_torch_checkpoint
+
+        sd = load_torch_checkpoint(args.weights)
+        inferred = infer_config("swinir", sd, scale_int)
+        ap = build_argparser()
+        flags_at_default = all(
+            getattr(args, f) == ap.get_default(f)
+            for f in ("embed_dim", "depths", "num_heads", "window_size")
+        )
+        if flags_at_default:
+            mcfg = dataclasses.replace(
+                inferred, scale=scale_int,
+                drop_path_rate=mcfg.drop_path_rate,
+            )
+            print(f"[arch] inferred from checkpoint: embed_dim={mcfg.embed_dim} "
+                  f"depths={mcfg.depths} heads={mcfg.num_heads} ws={mcfg.window_size} "
+                  f"upsampler={mcfg.upsampler}")
+        else:
+            mismatch = [
+                (f, getattr(mcfg, f), getattr(inferred, f))
+                for f in ("embed_dim", "depths", "num_heads", "window_size")
+                if getattr(mcfg, f) != getattr(inferred, f)
+            ]
+            if mismatch:
+                raise SystemExit(
+                    f"architecture flags disagree with the checkpoint: "
+                    + ", ".join(f"{f}: flag {a} vs ckpt {b}" for f, a, b in mismatch)
+                )
     model = build_model(mcfg)
 
     dcfg = DataConfig(
