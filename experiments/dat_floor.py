@@ -26,7 +26,7 @@ from tpu_superresolution_tpu.models.dat import (
     AdaptiveChannelAttention,
     AdaptiveSpatialAttention,
 )
-from tpu_superresolution_tpu.utils.ablate import ablate, report
+import time
 
 V5E_PEAK = 197e12
 V5E_HBM = 819e9  # bytes/s
@@ -48,16 +48,30 @@ def main():
         "channel_attn": AdaptiveChannelAttention(C, 6, True, dtype=dt),
         "sgfn": SGFN(2 * C, C, dtype=dt),
     }
-    cands = {}
+    fns = {}
     for name, m in mods.items():
         v = m.init(jax.random.key(0), x)
-        def thunk(m=m, v=v):
-            return m.apply(v, x).astype(jnp.float32)
-        cands[name] = thunk
+        fns[name] = jax.jit(lambda x, m=m, v=v: m.apply(v, x).astype(jnp.float32))
+        t0 = time.perf_counter()
+        jax.block_until_ready(fns[name](x))
+        print(f"[compile] {name}: {time.perf_counter() - t0:.0f}s", flush=True)
 
-    res = ablate(cands, inner=20, rounds=5)
+    times = {t: [] for t in fns}
+    for r in range(6):
+        for tag, fn in fns.items():
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(20):
+                out = fn(x)
+            jax.block_until_ready(out)
+            times[tag].append((time.perf_counter() - t0) / 20)
     print("\n=== DAT components, 256x256x180 bf16 (ms) ===", flush=True)
-    print(report(res), flush=True)
+    for tag, ts in sorted(times.items(), key=lambda kv: min(kv[1])):
+        print(f"{tag:20s} min {min(ts)*1e3:7.3f}  median {sorted(ts)[len(ts)//2]*1e3:7.3f}",
+              flush=True)
+    class R:
+        def __init__(s, v): s.min_s = v
+    res = {k: R(min(v)) for k, v in times.items()}
 
     # rooflines
     l = H * W

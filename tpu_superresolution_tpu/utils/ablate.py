@@ -92,7 +92,11 @@ def ablate(
     for name, thunk in candidates.items():
         fn = _looped(thunk, inner)
         seed = jnp.zeros((), jnp.float32)
+        t0 = time.perf_counter()
         jax.block_until_ready(fn(seed))  # compile + first run
+        if verbose or time.perf_counter() - t0 > 5:
+            print(f"[ablate] compiled {name}: {time.perf_counter() - t0:.0f}s",
+                  flush=True)
         compiled[name] = fn
 
     for _ in range(warmup):
