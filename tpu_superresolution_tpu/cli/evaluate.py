@@ -116,7 +116,10 @@ def build_argparser():
                     help="comma-separated indices; overrides save_every")
     ap.add_argument("--rescale_png", action="store_true")
     ap.add_argument("--tile", type=int, default=0,
-                    help="tile size for tiled inference (0 = whole image)")
+                    help="tile size for tiled inference (0 = whole image).  "
+                         "Recommended production setting (measured on v5e at "
+                         "1024^2 LR, PARITY.md): --tile 192 --tile_overlap 16 "
+                         "--tile_batch 8")
     ap.add_argument("--tile_overlap", type=int, default=16)
     ap.add_argument("--tile_batch", type=int, default=0,
                     help="max tiles per model call (0 = all in one batch); "
