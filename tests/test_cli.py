@@ -159,3 +159,42 @@ def test_train_cli_transformer_model(dataset, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "swinir" in out
     assert (tmp_path / "best_X2").exists()
+
+
+def test_evaluate_cli_uses_trained_semantics_for_framework_ckpts(
+    dataset, tmp_path, capsys, monkeypatch
+):
+    """Framework checkpoints evaluate with the semantics embedded in
+    their config (as trained): a model trained through the fused
+    reconstruction path learns its borders through that path, and
+    forcing the exact chain at eval cost 11 dB on 96-px images
+    (round-3 finding, PARITY.md).  --exact still forces the
+    reference-exact chain."""
+    from tpu_superresolution_tpu.cli.train import main as train_main
+
+    train_main([
+        "--data_root", str(dataset), "--scale", "X2", "--model", "swinir",
+        "--embed_dim", "12", "--t_depths", "2", "--t_heads", "2",
+        "--window_size", "4", "--patch_size", "16",
+        "--epochs", "1", "--batch_size", "2", "--workdir", str(tmp_path),
+        "--seed", "0",
+    ])
+    capsys.readouterr()
+
+    import tpu_superresolution_tpu.cli.evaluate as ev
+
+    seen = []
+    real_build = ev.build_model
+    monkeypatch.setattr(
+        ev, "build_model", lambda cfg: (seen.append(cfg), real_build(cfg))[1]
+    )
+    common = [
+        "--data_root", str(dataset), "--scale", "X2",
+        "--ckpt", str(tmp_path / "best_X2"),
+        "--save_n", "0", "--no_baseline", "--batch_size", "2",
+    ]
+    ev.main(common)
+    assert seen[-1].fused_reconstruct is True  # as trained (config default)
+    ev.main(common + ["--exact"])
+    assert seen[-1].fused_reconstruct is False
+    assert seen[-1].gelu_approximate is False

@@ -126,11 +126,12 @@ def build_argparser():
                          "bounds peak HBM at production whole-image sizes")
     ap.add_argument("--exact", action=argparse.BooleanOptionalAction, default=None,
                     help="reference-exact semantics: disable fused_reconstruct "
-                         "and tanh-gelu approximations.  DEFAULT ON — reported "
-                         "PSNR/SSIM is metric-exact (the fused border ring was "
-                         "measured at up to ~0.05 dB worst-case metric impact, "
-                         "PARITY.md round 3).  --no-exact evaluates the "
-                         "production-speed path instead (~12%% faster forward)")
+                         "and tanh-gelu approximations.  Default: ON for torch "
+                         ".pt/.pth checkpoints (trained with the exact chain; "
+                         "the fused border ring costs up to ~0.05 dB, PARITY.md "
+                         "round 3) but OFF for framework checkpoints, which "
+                         "evaluate with the semantics embedded in their config "
+                         "— i.e. the semantics they were trained with")
     ap.add_argument("--no_baseline", action="store_true")
     ap.add_argument("--dp", type=int, default=0,
                     help="shard the tile batch across N mesh devices "
@@ -161,7 +162,14 @@ def main(argv=None):
         )
 
         mcfg = model_config_from_checkpoint(args.ckpt) or MSResUNetConfig(scale=scale_int)
-        if args.exact is None or args.exact:
+        # Framework checkpoints are evaluated with the semantics they
+        # were TRAINED with (the config embedded in the checkpoint): a
+        # model trained through the fused-reconstruction path learns its
+        # border behavior through that path, so forcing the exact chain
+        # at eval time degrades borders (measured: 42.7 -> 31.6 dB on
+        # 96-px images, PARITY.md round 3).  --exact still forces
+        # reference-exact semantics for torch-weight comparisons.
+        if args.exact:
             import dataclasses
 
             over = {

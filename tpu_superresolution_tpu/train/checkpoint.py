@@ -49,6 +49,25 @@ def save_checkpoint(
         json.dump(meta, f, indent=1, default=str)
 
 
+def _restore_as_numpy(state_dir: Path):
+    """Target-less restore to HOST numpy arrays.
+
+    A checkpoint written on one topology records its device shardings;
+    restoring it verbatim on a different backend (e.g. a TPU-trained
+    checkpoint opened on CPU for evaluation) fails with
+    'Device ... was not found in jax.local_devices()'.  Weights-only
+    consumers don't care about the saved sharding — force every leaf to
+    np.ndarray so checkpoints are portable across backends."""
+    ckptr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+    tree_meta = ckptr.metadata(state_dir).item_metadata
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree_meta
+    )
+    return ckptr.restore(
+        state_dir, args=ocp.args.PyTreeRestore(restore_args=restore_args)
+    )
+
+
 def load_checkpoint(path: str, target_state=None):
     """Restore a checkpoint.  With target_state, returns a TrainState
     whose params/batch_stats/opt_state/step are replaced; otherwise
@@ -64,7 +83,7 @@ def load_checkpoint(path: str, target_state=None):
         }
         tree = ckptr.restore(path / "state", target=template)
     else:
-        tree = ckptr.restore(path / "state")
+        tree = _restore_as_numpy(path / "state")
     meta = {}
     meta_path = path / "meta.json"
     if meta_path.exists():
