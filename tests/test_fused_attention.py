@@ -455,3 +455,85 @@ def test_dat_spatial_attention_kernel_matches_jnp(rng):
     y1 = m1.apply(v, x, train=False)
     y2 = m2.apply(v, x, train=False)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=3e-5)
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+@pytest.mark.parametrize("with_extra", [False, True])
+def test_megakernel_sample_fold_matches_reference(rng, with_mask, with_extra):
+    """Inference sample folding (branch_scales=None: consecutive sample
+    pairs stack vertically into one strip via a free reshape, doubling
+    T) is a pure layout change — the output must match the jnp
+    reference, mask and extra included."""
+    import tpu_superresolution_tpu.ops.pallas.fused_block as fb
+
+    b, h, w, c, nh, ws = 4, 16, 16, 12, 3, 4  # nwh=4, n=16 -> fold engages
+    r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)
+    x = r(b, h, w, c)
+    weights = [r(c), r(c), r(c, 3 * c), r(3 * c), r(c, c), r(c),
+               r(c), r(c), r(c, 2 * c), r(2 * c), r(2 * c, c), r(c)]
+    bias = r(nh, ws * ws, ws * ws)
+    mask = None
+    if with_mask:
+        nw = (h // ws) * (w // ws)
+        mask = np.where(
+            rng.random((nw, ws * ws, ws * ws)) > 0.8, -100.0, 0.0
+        ).astype(np.float32)
+    extra = r(b, h, w, c) if with_extra else None
+    sc = (c // nh) ** -0.5
+
+    # the fold predicate must actually engage for this geometry
+    nwh, n = h // ws, ws * ws
+    assert b % 2 == 0 and nwh * n <= 512 and 2 * nwh <= 16 \
+        and 2 * nwh * n <= 1024
+
+    out = fb.fused_swin_block(
+        x, *weights, bias, ws, mask, sc, False, extra=extra,
+        branch_scales=None,
+    )
+    ones = jnp.ones((b, 2), jnp.float32)
+    ref = fb._reference_block(
+        x, *weights, bias, ones, ws, mask, sc, False, extra=extra
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    # folded vs unfolded kernel outputs agree too (direct check)
+    unfolded = fb._mega_forward(
+        x, *weights, bias, ones, ws, mask, sc, False, True,
+        extra=extra, allow_fold=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(unfolded), atol=2e-5
+    )
+
+
+def test_megakernel_sample_fold_grads(rng):
+    """branch_scales=None under jax.grad: the folded forward pairs with
+    the (unfolded) backward — grads must match the jnp reference."""
+    import tpu_superresolution_tpu.ops.pallas.fused_block as fb
+
+    b, h, w, c, nh, ws = 2, 8, 8, 12, 3, 4
+    r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)
+    x = r(b, h, w, c)
+    weights = [r(c), r(c), r(c, 3 * c), r(3 * c), r(c, c), r(c),
+               r(c), r(c), r(c, 2 * c), r(2 * c), r(2 * c, c), r(c)]
+    bias = r(nh, ws * ws, ws * ws)
+    sc = (c // nh) ** -0.5
+
+    def run(xx):
+        out = fb.fused_swin_block(
+            xx, *weights, bias, ws, None, sc, False, branch_scales=None,
+        )
+        return jnp.sum(out * out)
+
+    def run_ref(xx):
+        ones = jnp.ones((b, 2), jnp.float32)
+        out = fb._reference_block(
+            xx, *weights, bias, ones, ws, None, sc, False
+        )
+        return jnp.sum(out * out)
+
+    g = jax.grad(run)(x)
+    g_ref = jax.grad(run_ref)(x)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(g_ref), atol=2e-4, rtol=1e-3
+    )

@@ -856,9 +856,14 @@ def fused_swin_block(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # Sample folding is valid only when the per-sample branch scales are
+    # statically all-ones (folded sample pairs share one scales row):
+    # callers signal that by passing branch_scales=None.
+    allow_fold = branch_scales is None
     if branch_scales is None:
         branch_scales = jnp.ones((x.shape[0], 2), jnp.float32)
     vkw = _variant_kwargs(MEGA_VARIANT if variant is None else variant)
+    vkw["allow_fold"] = allow_fold
 
     if extra is None:
 
