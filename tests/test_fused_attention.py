@@ -457,16 +457,19 @@ def test_dat_spatial_attention_kernel_matches_jnp(rng):
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=3e-5)
 
 
+@pytest.mark.parametrize("b", [4, 49])
 @pytest.mark.parametrize("with_mask", [False, True])
 @pytest.mark.parametrize("with_extra", [False, True])
-def test_megakernel_sample_fold_matches_reference(rng, with_mask, with_extra):
+def test_megakernel_sample_fold_matches_reference(rng, b, with_mask, with_extra):
     """Inference sample folding (branch_scales=None: consecutive sample
     pairs stack vertically into one strip via a free reshape, doubling
     T) is a pure layout change — the output must match the jnp
     reference, mask and extra included."""
     import tpu_superresolution_tpu.ops.pallas.fused_block as fb
 
-    b, h, w, c, nh, ws = 4, 16, 16, 12, 3, 4  # nwh=4, n=16 -> fold engages
+    h, w, c, nh, ws = 16, 16, 12, 3, 4  # nwh=4, n=16 -> fold engages
+    # b=49 exercises the odd-batch zero-sample padding path (odd
+    # batches only fold at b>=48 where the pad sample is cheap)
     r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)
     x = r(b, h, w, c)
     weights = [r(c), r(c), r(c, 3 * c), r(3 * c), r(c, c), r(c),
@@ -483,8 +486,8 @@ def test_megakernel_sample_fold_matches_reference(rng, with_mask, with_extra):
 
     # the fold predicate must actually engage for this geometry
     nwh, n = h // ws, ws * ws
-    assert b % 2 == 0 and nwh * n <= 512 and 2 * nwh <= 16 \
-        and 2 * nwh * n <= 1024
+    assert (b % 2 == 0 or b >= 48) and nwh * n <= 512 \
+        and 2 * nwh <= 16 and 2 * nwh * n <= 1024
 
     out = fb.fused_swin_block(
         x, *weights, bias, ws, mask, sc, False, extra=extra,

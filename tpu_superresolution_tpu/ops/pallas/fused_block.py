@@ -64,6 +64,12 @@ KERNEL_BACKWARD = True
 # fused_swin_block(variant=...) or globally here.
 MEGA_VARIANT = "v3"
 
+# Sample-folding switch (see _mega_forward): at inference, pairs of
+# short samples stack vertically into one strip via a free reshape,
+# doubling T.  Global off-switch for A/B measurement and as a safety
+# valve; per-call gating rides branch_scales=None.
+ALLOW_FOLD = True
+
 
 def _variant_kwargs(variant: str) -> dict:
     kw = {"use_exp2": False, "pairw": 1, "stackv": False}
@@ -536,19 +542,36 @@ def _mega_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
     # (H % ws == 0) and the shift mask simply tiles on the window-row
     # axis.  Rolls happen OUTSIDE on the unfolded samples, so cyclic
     # wraparound never crosses the seam.
+    # Measured (v5e, SwinIR-M tile-64 bf16): fold wins ~4.7% whole-model
+    # on even batches (b8: 20.67 vs 21.68 ms); padding an odd batch to
+    # even costs 1/B extra compute, which at b=25 exactly ate the gain
+    # (57.7 vs 57.3 ms) — so odd batches only fold when the pad sample
+    # is <~2% of the batch.
     fold = (
         allow_fold
-        and b % 2 == 0
+        and (b % 2 == 0 or b >= 48)
+        and b >= 2
         and nwh * n <= 512
         and 2 * nwh <= max_p
         and 2 * nwh * n <= 1024
     )
+    pad_sample = 0
     if fold:
+        if b % 2:
+            # Pad with one zero sample (sliced off below) — all-finite
+            # through LN eps and the masked softmax.
+            pad_sample = 1
+            x = jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
+            if extra is not None:
+                extra = jnp.concatenate(
+                    [extra, jnp.zeros_like(extra[:1])], axis=0
+                )
+            b += 1
         b, hh, nwh = b // 2, 2 * hh, 2 * nwh
         x = x.reshape(b, hh, www, c)
         if extra is not None:
             extra = extra.reshape(b, hh, www, c)
-        scales = scales[:b]
+        scales = jnp.ones((b, 2), jnp.float32)
         if mask is not None:
             m4 = np.asarray(mask, np.float32).reshape(nwh // 2, nww, n, n)
             mask = np.concatenate([m4, m4], axis=0).reshape(nwh * nww, n, n)
@@ -689,6 +712,8 @@ def _mega_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
     )(*args)
     if fold:
         out = out.reshape(2 * b, hh // 2, www, c)
+        if pad_sample:
+            out = out[: 2 * b - pad_sample]
     return out
 
 
@@ -859,7 +884,7 @@ def fused_swin_block(
     # Sample folding is valid only when the per-sample branch scales are
     # statically all-ones (folded sample pairs share one scales row):
     # callers signal that by passing branch_scales=None.
-    allow_fold = branch_scales is None
+    allow_fold = branch_scales is None and ALLOW_FOLD
     if branch_scales is None:
         branch_scales = jnp.ones((x.shape[0], 2), jnp.float32)
     vkw = _variant_kwargs(MEGA_VARIANT if variant is None else variant)
