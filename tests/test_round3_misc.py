@@ -178,6 +178,23 @@ class TestAblate:
         table = report(res)
         assert "vs best" in table and "mat" in table
 
+    def test_carry_dependent_thunks(self):
+        """Thunks taking one argument receive the fp32 carry so
+        pure-HLO candidates can defeat loop-invariant code motion
+        (round-3 finding: argless conv/gelu thunks were hoisted out of
+        the fori_loop and every candidate timed as pure dispatch)."""
+        from tpu_superresolution_tpu.utils.ablate import ablate
+
+        x = jnp.ones((32, 32), jnp.float32)
+        res = ablate(
+            {
+                "dep": lambda s: (x + (s * 1e-30).astype(x.dtype)) @ x,
+                "argless": lambda: x @ x,
+            },
+            inner=3, rounds=2,
+        )
+        assert all(r.min_s > 0 for r in res.values())
+
 
 class TestBatchedAttentionGrad:
     def test_batched_window_attention_differentiable(self, rng):

@@ -60,13 +60,34 @@ class AblateResult:
         return (max(self.times_s) - min(self.times_s)) / max(self.min_s, 1e-12)
 
 
-def _looped(thunk: Callable[[], jax.Array], inner: int):
+def _looped(thunk: Callable[..., jax.Array], inner: int):
     """Jit a fori_loop running `thunk` `inner` times with a carried
-    dependency so the work cannot be hoisted or elided."""
+    dependency so the work cannot be hoisted or elided.
+
+    IMPORTANT: an argless thunk's output only feeds the carry — XLA can
+    still hoist the (loop-invariant) computation itself out of the loop
+    for pure-HLO candidates, leaving the loop measuring dispatch latency
+    (measured: conv/gelu candidates at 259^2 all timed identically at
+    ~0.9 ms = the ~27 ms tunnel round trip / inner).  Pallas calls
+    appear opaque to LICM, which is why kernel A/Bs still worked.  A
+    thunk that accepts one argument receives the fp32 carry scalar and
+    MUST mix it into its inputs, e.g.::
+
+        lambda s: f(x + (s * 1e-30).astype(x.dtype))
+
+    which makes every iteration's input a fresh runtime value (the
+    broadcast add costs one elementwise pass — negligible at ms
+    scale)."""
+    import inspect
+
+    try:
+        takes_arg = len(inspect.signature(thunk).parameters) >= 1
+    except (TypeError, ValueError):
+        takes_arg = False
 
     def run(seed):
         def body(_, carry):
-            out = thunk()
+            out = thunk(carry) if takes_arg else thunk()
             leaf = jax.tree_util.tree_leaves(out)[0]
             return carry + leaf.ravel()[0].astype(jnp.float32)
 
