@@ -264,10 +264,12 @@ class HAB(nn.Module):
             # Packed-window megakernel: ws can't tile as strips on
             # Mosaic (megakernel_tpu_ok) — partition/pad in XLA, run
             # the whole block per G-window group in one Pallas program.
+            from tpu_superresolution_tpu.ops.pallas import fused_block as _fb
+
             n = ws * ws
             npad = (-n) % 8
             nW = (h // ws) * (w // ws)
-            wpad = (-nW) % 8
+            wpad = (-nW) % _fb.PACKED_GROUP
             xw = window_partition(xs, ws).reshape(b, nW, n, c)
             ew = window_partition(es, ws).reshape(b, nW, n, c)
             if wpad or npad:

@@ -70,6 +70,13 @@ MEGA_VARIANT = "v3"
 # valve; per-call gating rides branch_scales=None.
 ALLOW_FOLD = True
 
+# Windows per grid step for the packed-window megakernel (HAT's ws=7
+# path).  Callers pad their window count to a multiple of this before
+# partitioning.  Measured (v5e, HAT 256^2 x4 whole forward, outputs
+# bitwise identical): group 8 = 98.7 ms, 16 = 94.5, 32 = 99.4 — fewer
+# grid steps win until VMEM pressure bites.
+PACKED_GROUP = 16
+
 
 def _variant_kwargs(variant: str) -> dict:
     kw = {"use_exp2": False, "pairw": 1, "stackv": False}
@@ -1176,7 +1183,7 @@ def fused_packed_windows_block(
     x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
     wfc1, bfc1, wfc2, bfc2, bias,
     mask=None, scale=1.0, gelu_approx=True, interpret=None,
-    extra=None, branch_scales=None, group=8,
+    extra=None, branch_scales=None, group=None,
 ):
     """Fused transformer block on pre-partitioned windows.
 
@@ -1190,10 +1197,16 @@ def fused_packed_windows_block(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if group is None:
+        group = PACKED_GROUP
     bw = x.shape[0]
     if branch_scales is None:
         branch_scales = jnp.ones((1, 2), jnp.float32)
     b = branch_scales.shape[0]
+    # group must divide the per-sample window count; halve down for
+    # callers that padded to a smaller multiple (everyone pads to >=8)
+    while group > 1 and (bw // b) % group:
+        group //= 2
     assert bw % (b * group) == 0, (bw, b, group)
 
     if extra is None:
