@@ -457,7 +457,7 @@ def test_dat_spatial_attention_kernel_matches_jnp(rng):
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=3e-5)
 
 
-@pytest.mark.parametrize("b", [4, 49])
+@pytest.mark.parametrize("b", [4, 3])
 @pytest.mark.parametrize("with_mask", [False, True])
 @pytest.mark.parametrize("with_extra", [False, True])
 def test_megakernel_sample_fold_matches_reference(rng, b, with_mask, with_extra):
@@ -468,8 +468,9 @@ def test_megakernel_sample_fold_matches_reference(rng, b, with_mask, with_extra)
     import tpu_superresolution_tpu.ops.pallas.fused_block as fb
 
     h, w, c, nh, ws = 16, 16, 12, 3, 4  # nwh=4, n=16 -> fold engages
-    # b=49 exercises the odd-batch zero-sample padding path (odd
-    # batches only fold at b>=48 where the pad sample is cheap)
+    # b=3 exercises the odd-batch zero-sample padding path (production
+    # only pads at b>=FOLD_ODD_MIN_B; lowered here to keep interpret
+    # mode fast)
     r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)
     x = r(b, h, w, c)
     weights = [r(c), r(c), r(c, 3 * c), r(3 * c), r(c, c), r(c),
@@ -484,29 +485,37 @@ def test_megakernel_sample_fold_matches_reference(rng, b, with_mask, with_extra)
     extra = r(b, h, w, c) if with_extra else None
     sc = (c // nh) ** -0.5
 
+    orig_min_b = fb.FOLD_ODD_MIN_B
+    if b % 2:
+        fb.FOLD_ODD_MIN_B = 3
     # the fold predicate must actually engage for this geometry
     nwh, n = h // ws, ws * ws
-    assert (b % 2 == 0 or b >= 48) and nwh * n <= 512 \
-        and 2 * nwh <= 16 and 2 * nwh * n <= 1024
+    try:
+        assert (b % 2 == 0 or b >= fb.FOLD_ODD_MIN_B) and nwh * n <= 512 \
+            and 2 * nwh <= 16 and 2 * nwh * n <= 1024
 
-    out = fb.fused_swin_block(
-        x, *weights, bias, ws, mask, sc, False, extra=extra,
-        branch_scales=None,
-    )
-    ones = jnp.ones((b, 2), jnp.float32)
-    ref = fb._reference_block(
-        x, *weights, bias, ones, ws, mask, sc, False, extra=extra
-    )
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+        out = fb.fused_swin_block(
+            x, *weights, bias, ws, mask, sc, False, extra=extra,
+            branch_scales=None,
+        )
+        ones = jnp.ones((b, 2), jnp.float32)
+        ref = fb._reference_block(
+            x, *weights, bias, ones, ws, mask, sc, False, extra=extra
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=3e-5
+        )
 
-    # folded vs unfolded kernel outputs agree too (direct check)
-    unfolded = fb._mega_forward(
-        x, *weights, bias, ones, ws, mask, sc, False, True,
-        extra=extra, allow_fold=False,
-    )
-    np.testing.assert_allclose(
-        np.asarray(out), np.asarray(unfolded), atol=2e-5
-    )
+        # folded vs unfolded kernel outputs agree too (direct check)
+        unfolded = fb._mega_forward(
+            x, *weights, bias, ones, ws, mask, sc, False, True,
+            extra=extra, allow_fold=False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(unfolded), atol=2e-5
+        )
+    finally:
+        fb.FOLD_ODD_MIN_B = orig_min_b
 
 
 def test_megakernel_sample_fold_grads(rng):

@@ -239,7 +239,14 @@ class HAB(nn.Module):
             mask = shift_attn_mask(h, w, ws, shift) if shift > 0 else None
             # CAB consumes LN1(x); same fp32-stats formula the kernel
             # applies internally.
-            ln1 = _ln(x.astype(jnp.float32), g1, b1).astype(self.dtype)
+            # XLA layernorm at this shape costs ~0.68 ms vs the Pallas
+            # kernel's ~0.05 (PARITY.md round 3) — and this LN only
+            # exists to feed CAB (the megakernel re-derives LN1 in VMEM)
+            from tpu_superresolution_tpu.ops.pallas.layernorm import (
+                layernorm_spatial,
+            )
+
+            ln1 = layernorm_spatial(x.astype(self.dtype), g1, b1)
             conv_x = CAB(self.compress_ratio, self.squeeze_factor,
                          self.dtype, name="conv_block")(ln1)
             extra = conv_x * jnp.asarray(self.conv_scale, conv_x.dtype)
@@ -478,7 +485,11 @@ class OCAB(nn.Module):
             ones_cols = np.asarray([2 * koff + hh * hdp + hd for hh in range(nh)])
             bqp = bqp.at[0, ones_cols].set(1.0)
 
-        ln1 = _ln(x.astype(jnp.float32), g1, b1).astype(dt)
+        from tpu_superresolution_tpu.ops.pallas.layernorm import (
+            layernorm_spatial,
+        )
+
+        ln1 = layernorm_spatial(x.astype(dt), g1, b1)
         qkvp = ln1 @ wprep.astype(dt) + bqp.astype(dt)  # [B,H,W,3*koff]
         q_sec = qkvp[..., :koff]
         k_sec = qkvp[..., koff : 2 * koff]

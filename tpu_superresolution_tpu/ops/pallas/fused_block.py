@@ -70,6 +70,11 @@ MEGA_VARIANT = "v3"
 # valve; per-call gating rides branch_scales=None.
 ALLOW_FOLD = True
 
+# Minimum batch for folding an ODD batch (zero-pad sample): the pad
+# costs 1/B extra compute, which at b=25 exactly ate the fold's ~4.7%
+# win (PARITY.md round 3) — only pad when it is <~2% of the batch.
+FOLD_ODD_MIN_B = 48
+
 # Windows per grid step for the packed-window megakernel (HAT's ws=7
 # path).  Callers pad their window count to a multiple of this before
 # partitioning.  Measured (v5e, HAT 256^2 x4 whole forward, outputs
@@ -556,7 +561,7 @@ def _mega_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
     # is <~2% of the batch.
     fold = (
         allow_fold
-        and (b % 2 == 0 or b >= 48)
+        and (b % 2 == 0 or b >= FOLD_ODD_MIN_B)
         and b >= 2
         and nwh * n <= 512
         and 2 * nwh <= max_p
