@@ -128,6 +128,33 @@ class LayerNormParams(nn.Module):
         return scale, bias
 
 
+class PLayerNorm(nn.Module):
+    """Drop-in for `nn.LayerNorm(epsilon=1e-5)` (same param names /
+    shapes / fast-variance formula, so checkpoints and golden parity
+    are unaffected) that routes to the one-pass Pallas kernel on TPU.
+    XLA's layernorm lowering measured ~20x its HBM roofline at
+    production spatial shapes (PARITY.md round 3); DAT alone runs 30+
+    of them per forward (dat_arch.py:531-565)."""
+
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from tpu_superresolution_tpu.ops.pallas.layernorm import (
+            layernorm_spatial,
+        )
+
+        c = x.shape[-1]
+        scale = self.param(
+            "scale", nn.initializers.ones, (c,), self.param_dtype
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (c,), self.param_dtype
+        )
+        return layernorm_spatial(x.astype(self.dtype), scale, bias)
+
+
 class MlpParams(nn.Module):
     """Mlp-compatible fc1/fc2 {kernel, bias} params, returned raw."""
 

@@ -37,6 +37,7 @@ from tpu_superresolution_tpu.core.config import DATConfig, register_model
 from tpu_superresolution_tpu.models.blocks import (
     PixelShuffleDirect,
     PixelShuffleUpsample,
+    PLayerNorm,
     drop_path,
     upsample_and_last,
 )
@@ -74,7 +75,7 @@ class DynamicPosBias(nn.Module):
         x = nn.Dense(self.pos_dim, kernel_init=_TRUNC02, dtype=self.dtype,
                      name="pos_proj")(biases)
         for i, feat in ((1, self.pos_dim), (2, self.pos_dim), (3, self.num_heads)):
-            x = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name=f"pos{i}_norm")(x)
+            x = PLayerNorm(dtype=self.dtype, name=f"pos{i}_norm")(x)
             x = nn.relu(x)
             x = nn.Dense(feat, kernel_init=_TRUNC02, dtype=self.dtype,
                          name=f"pos{i}_fc")(x)
@@ -339,7 +340,7 @@ class SGFN(nn.Module):
         x = nn.gelu(x, approximate=False)
         half = self.hidden // 2
         x1, x2 = x[..., :half], x[..., half:]
-        x2 = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="sg_norm")(x2)
+        x2 = PLayerNorm(dtype=self.dtype, name="sg_norm")(x2)
         x2 = nn.Conv(half, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=half,
                      dtype=self.dtype, name="sg_conv")(x2)
         x = x1 * x2
@@ -369,7 +370,7 @@ class DATB(nn.Module):
         )
         # stochastic depth on both residuals (dat_arch.py:562-563)
         use_dp = train and self.drop_path_rate > 0
-        y = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm1")(x)
+        y = PLayerNorm(dtype=self.dtype, name="norm1")(x)
         if j % 2 == 0:
             y = AdaptiveSpatialAttention(
                 self.dim, self.num_heads, self.split_size, self.qkv_bias,
@@ -381,7 +382,7 @@ class DATB(nn.Module):
             )(y, train)
         rng = self.make_rng("drop_path") if use_dp else None
         x = x + drop_path(y, self.drop_path_rate, rng is None, rng)
-        y = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm2")(x)
+        y = PLayerNorm(dtype=self.dtype, name="norm2")(x)
         y = SGFN(int(self.dim * self.expansion_factor), self.dim, self.dtype,
                  name="ffn")(y)
         rng2 = self.make_rng("drop_path") if use_dp else None
@@ -447,7 +448,7 @@ class DAT(nn.Module):
                     dtype=dt, name="conv_first")(x)
 
         # before_RG: LayerNorm on channels (dat_arch.py:765-768)
-        feats = nn.LayerNorm(epsilon=_LN_EPS, dtype=dt, name="before_RG_norm")(x)
+        feats = PLayerNorm(dtype=dt, name="before_RG_norm")(x)
         # stochastic depth decay rule (dat_arch.py:771)
         dpr = [float(r) for r in np.linspace(0, cfg.drop_path_rate, sum(cfg.depths))]
         start = 0
@@ -460,7 +461,7 @@ class DAT(nn.Module):
                 name=f"layers_{i}",
             )(feats, train)
             start += depth
-        feats = nn.LayerNorm(epsilon=_LN_EPS, dtype=dt, name="norm")(feats)
+        feats = PLayerNorm(dtype=dt, name="norm")(feats)
         if cfg.resi_connection == "1conv":
             feats = nn.Conv(cfg.embed_dim, (3, 3), padding=((1, 1), (1, 1)),
                             dtype=dt, name="conv_after_body")(feats)

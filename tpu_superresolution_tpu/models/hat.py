@@ -37,6 +37,7 @@ from tpu_superresolution_tpu.models.blocks import (
     LayerNormParams,
     Mlp,
     MlpParams,
+    PLayerNorm,
     PixelShuffleUpsample,
     check_image_size,
     upsample_and_last,
@@ -306,7 +307,7 @@ class HAB(nn.Module):
             return cyclic_unshift(out, shift)
 
         shortcut = x
-        x = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm1")(x)
+        x = PLayerNorm(dtype=self.dtype, name="norm1")(x)
 
         conv_x = CAB(self.compress_ratio, self.squeeze_factor, self.dtype,
                      name="conv_block")(x)
@@ -326,7 +327,7 @@ class HAB(nn.Module):
         rng = self.make_rng("drop_path") if use_dp else None
         attn_x = drop_path(attn_x, self.drop_path_rate, rng is None, rng)
         x = shortcut + attn_x + conv_x * jnp.asarray(self.conv_scale, x.dtype)
-        y = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm2")(x)
+        y = PLayerNorm(dtype=self.dtype, name="norm2")(x)
         y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype,
                 gelu_approximate=self.gelu_approximate, name="mlp")(y)
         rng2 = self.make_rng("drop_path") if use_dp else None
@@ -387,7 +388,7 @@ class OCAB(nn.Module):
             return self._fused(x)
 
         shortcut = x
-        x = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm1")(x)
+        x = PLayerNorm(dtype=self.dtype, name="norm1")(x)
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, kernel_init=_TRUNC02,
                        dtype=self.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -428,7 +429,7 @@ class OCAB(nn.Module):
         out = window_reverse(out.reshape(-1, ws * ws, c), ws, h, w)
         out = nn.Dense(c, kernel_init=_TRUNC02, dtype=self.dtype, name="proj")(out)
         x = out + shortcut
-        y = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm2")(x)
+        y = PLayerNorm(dtype=self.dtype, name="norm2")(x)
         y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype,
                 gelu_approximate=self.gelu_approximate, name="mlp")(y)
         return x + y
@@ -601,7 +602,7 @@ class HAT(nn.Module):
 
         feats = x
         if cfg.patch_norm:  # hat_arch.py:758 default
-            feats = nn.LayerNorm(epsilon=_LN_EPS, dtype=dt, name="patch_norm")(feats)
+            feats = PLayerNorm(dtype=dt, name="patch_norm")(feats)
         # stochastic depth decay rule (hat_arch.py:827)
         dpr = [float(r) for r in np.linspace(0, cfg.drop_path_rate, sum(cfg.depths))]
         start = 0
@@ -616,7 +617,7 @@ class HAT(nn.Module):
                 name=f"layers_{i}",
             )(feats, deterministic=not train)
             start += depth
-        feats = nn.LayerNorm(epsilon=_LN_EPS, dtype=dt, name="norm")(feats)
+        feats = PLayerNorm(dtype=dt, name="norm")(feats)
         if cfg.resi_connection == "1conv":
             feats = nn.Conv(cfg.embed_dim, (3, 3), padding=((1, 1), (1, 1)),
                             dtype=dt, name="conv_after_body")(feats)

@@ -41,6 +41,7 @@ from tpu_superresolution_tpu.models.blocks import (
     LayerNormParams,
     Mlp,
     MlpParams,
+    PLayerNorm,
     PixelShuffleDirect,
     PixelShuffleUpsample,
     check_image_size,
@@ -252,7 +253,7 @@ class SwinBlock(nn.Module):
             return cyclic_unshift(out, shift)
 
         shortcut = x
-        x = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm1")(x)
+        x = PLayerNorm(dtype=self.dtype, name="norm1")(x)
         x = cyclic_shift(x, shift)
         nwh, nww = h // ws, w // ws
         xw = window_partition(x, ws).reshape(b, nwh * nww, ws * ws, c)
@@ -270,7 +271,7 @@ class SwinBlock(nn.Module):
             else None
         )
         x = shortcut + drop_path(x, self.drop_path_rate, deterministic or rng is None, rng)
-        y = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm2")(x)
+        y = PLayerNorm(dtype=self.dtype, name="norm2")(x)
         y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype,
                 gelu_approximate=self.gelu_approximate, name="mlp")(y)
         rng2 = (
@@ -361,7 +362,7 @@ class SwinIR(nn.Module):
         # 2. deep feature extraction
         feats = x
         if cfg.patch_norm:
-            feats = nn.LayerNorm(epsilon=_LN_EPS, dtype=dt, name="patch_norm")(feats)
+            feats = PLayerNorm(dtype=dt, name="patch_norm")(feats)
         if cfg.ape:
             # absolute position embedding over the init-resolution token
             # grid (network_swinir.py:693-696)
@@ -395,7 +396,7 @@ class SwinIR(nn.Module):
                 name=f"layers_{i}",
             )(feats, deterministic=not train)
             start += depth
-        feats = nn.LayerNorm(epsilon=_LN_EPS, dtype=dt, name="norm")(feats)
+        feats = PLayerNorm(dtype=dt, name="norm")(feats)
         if cfg.resi_connection == "1conv":
             feats = nn.Conv(
                 cfg.embed_dim, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="conv_after_body"
