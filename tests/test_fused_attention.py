@@ -335,10 +335,13 @@ def test_megakernel_backward_matches_jnp_vjp(rng, with_mask, with_extra):
         )
 
 
+@pytest.mark.parametrize("variant", ["v3", "stackv", "exp2+stackv"])
 @pytest.mark.parametrize("with_mask", [False, True])
-def test_packed_megakernel_matches_reference(rng, with_mask):
+def test_packed_megakernel_matches_reference(rng, with_mask, variant):
     """fused_packed_windows_block (the ws=7 HAB path) matches the jnp
-    packed reference, including window-count grouping and mask stream."""
+    packed reference, including window-count grouping and mask stream,
+    for every packed-variant switch (stackv batched-head GEMMs, base-2
+    softmax)."""
     from tpu_superresolution_tpu.ops.pallas.fused_block import (
         _reference_packed,
         fused_packed_windows_block,
@@ -360,7 +363,7 @@ def test_packed_megakernel_matches_reference(rng, with_mask):
     sc = (c // nh) ** -0.5
     out = fused_packed_windows_block(
         x, *weights, bias, mask, sc, False,
-        extra=extra, branch_scales=scales,
+        extra=extra, branch_scales=scales, variant=variant,
     )
     ref = _reference_packed(
         x, *weights, bias, scales, mask, sc, False, extra=extra
@@ -516,6 +519,40 @@ def test_megakernel_sample_fold_matches_reference(rng, b, with_mask, with_extra)
         )
     finally:
         fb.FOLD_ODD_MIN_B = orig_min_b
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_megakernel_sample_fold_odd_split(rng, with_mask):
+    """Odd batch below FOLD_ODD_MIN_B: the kernel splits off the last
+    sample and folds the even remainder (two pallas_calls) instead of
+    padding — output must still match the jnp reference exactly."""
+    import tpu_superresolution_tpu.ops.pallas.fused_block as fb
+
+    b, h, w, c, nh, ws = 5, 16, 16, 12, 3, 4  # odd, default MIN_B=48
+    assert 3 <= b < fb.FOLD_ODD_MIN_B
+    r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)
+    x = r(b, h, w, c)
+    weights = [r(c), r(c), r(c, 3 * c), r(3 * c), r(c, c), r(c),
+               r(c), r(c), r(c, 2 * c), r(2 * c), r(2 * c, c), r(c)]
+    bias = r(nh, ws * ws, ws * ws)
+    mask = None
+    if with_mask:
+        nw = (h // ws) * (w // ws)
+        mask = np.where(
+            rng.random((nw, ws * ws, ws * ws)) > 0.8, -100.0, 0.0
+        ).astype(np.float32)
+    extra = r(b, h, w, c)
+    sc = (c // nh) ** -0.5
+
+    out = fb.fused_swin_block(
+        x, *weights, bias, ws, mask, sc, False, extra=extra,
+        branch_scales=None,
+    )
+    ones = jnp.ones((b, 2), jnp.float32)
+    ref = fb._reference_block(
+        x, *weights, bias, ones, ws, mask, sc, False, extra=extra
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
 
 
 def test_megakernel_sample_fold_grads(rng):

@@ -254,3 +254,59 @@ class TestCompareCli:
               "--indices", "1", "--out_dir", str(out)])
         files = sorted(p.name for p in out.iterdir())
         assert files == ["A_vs_B_x2_test_0001.png"]
+
+
+class TestConvGemm:
+    """The 9-shifted-GEMM conv3x3 (ops/conv_gemm.py) that replaces the
+    pathological in-model XLA conv op in HAT's CAB (PARITY.md round 3)."""
+
+    def test_matches_conv_op_fp32(self):
+        from tpu_superresolution_tpu.ops.conv_gemm import conv3x3_gemm
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, 9, 11, 7)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 7, 5)) * 0.2, jnp.float32)
+        b = jnp.asarray(rng.standard_normal(5), jnp.float32)
+        got = conv3x3_gemm(x, k, b)
+        ref = jax.lax.conv_general_dilated(
+            x, k, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_cab_impls_share_params_and_match(self):
+        from tpu_superresolution_tpu.models.hat import CAB
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((1, 8, 8, 12)), jnp.float32)
+        gemm = CAB(compress_ratio=3, squeeze_factor=4)
+        params = gemm.init(jax.random.PRNGKey(0), x)
+        xla = CAB(compress_ratio=3, squeeze_factor=4, conv_impl="xla")
+        # same param tree: xla impl applies with the gemm-initialised tree
+        y_g = gemm.apply(params, x)
+        y_x = xla.apply(params, x)
+        np.testing.assert_allclose(np.asarray(y_g), np.asarray(y_x),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_grads_match_conv_op(self):
+        from tpu_superresolution_tpu.ops.conv_gemm import conv3x3_gemm
+
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((1, 6, 6, 4)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 4, 3)) * 0.2, jnp.float32)
+
+        def loss_g(x, k):
+            return jnp.sum(conv3x3_gemm(x, k) ** 2)
+
+        def loss_r(x, k):
+            y = jax.lax.conv_general_dilated(
+                x, k, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return jnp.sum(y ** 2)
+
+        for a, b in zip(jax.grad(loss_g, (0, 1))(x, k),
+                        jax.grad(loss_r, (0, 1))(x, k)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)

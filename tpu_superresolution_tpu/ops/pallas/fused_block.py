@@ -82,6 +82,13 @@ FOLD_ODD_MIN_B = 48
 # grid steps win until VMEM pressure bites.
 PACKED_GROUP = 16
 
+# Forward-kernel variant for the packed path ("v3"/"exp2"/"stackv"
+# tokens as in MEGA_VARIANT; "pair" is strip-only).  The packed chain
+# is latency-bound on its serial per-step op sequence (PARITY.md round
+# 3), so collapsing the per-head score/AV loop into stacked batched
+# GEMMs (stackv) attacks exactly that.
+PACKED_VARIANT = "v3"
+
 
 def _variant_kwargs(variant: str) -> dict:
     kw = {"use_exp2": False, "pairw": 1, "stackv": False}
@@ -559,14 +566,35 @@ def _mega_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
     # even costs 1/B extra compute, which at b=25 exactly ate the gain
     # (57.7 vs 57.3 ms) — so odd batches only fold when the pad sample
     # is <~2% of the batch.
-    fold = (
+    fold_geom = (
         allow_fold
-        and (b % 2 == 0 or b >= FOLD_ODD_MIN_B)
         and b >= 2
         and nwh * n <= 512
         and 2 * nwh <= max_p
         and 2 * nwh * n <= 1024
     )
+    if fold_geom and b % 2 and 3 <= b < FOLD_ODD_MIN_B:
+        # Odd batch below the pad threshold: split off the last sample
+        # and fold the even remainder — two pallas_calls inside one jit
+        # (the [b-1]-folded main body plus a 1-sample unfolded tail)
+        # instead of padding to b+1 (the pad's 1/b extra compute ate the
+        # ~4.7% fold win at b=25; the split keeps it minus one extra
+        # kernel launch).
+        common = (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+                  wfc1, bfc1, wfc2, bfc2, bias)
+        kw = dict(gelu_approx=gelu_approx, interpret=interpret,
+                  max_p=max_p, use_exp2=use_exp2, pairw=pairw,
+                  stackv=stackv)
+        main = _mega_forward(
+            x[:-1], *common, scales[:-1], ws, mask, scale, **kw,
+            extra=None if extra is None else extra[:-1], allow_fold=True,
+        )
+        tail = _mega_forward(
+            x[-1:], *common, scales[-1:], ws, mask, scale, **kw,
+            extra=None if extra is None else extra[-1:], allow_fold=False,
+        )
+        return jnp.concatenate([main, tail], axis=0)
+    fold = fold_geom and (b % 2 == 0 or b >= FOLD_ODD_MIN_B)
     pad_sample = 0
     if fold:
         if b % 2:
@@ -1038,28 +1066,44 @@ def _packed_specs(bw, n, c, b, group, mask, w, bq, wp, wfc1, wfc2, nh):
 def _packed_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
                     wfc1, bfc1, wfc2, bfc2, bias, scales,
                     mask, scale, gelu_approx, interpret, extra=None,
-                    group=8):
+                    group=8, variant=None):
     bw, n, c = x.shape
     b = scales.shape[0]
     nh = bias.shape[0]
-    w, bq, wp, bp, hdp = _prep_weights(wqkv, bqkv, wproj, bproj, nh, scale)
+    vkw = _variant_kwargs(PACKED_VARIANT if variant is None else variant)
+    if vkw["pairw"] != 1:
+        raise ValueError("'pair' variants are strip-only (packed blocks "
+                         "already span full last-two dims)")
+    use_exp2, stackv = vkw["use_exp2"], vkw["stackv"]
+    _LOG2E = np.float32(1.4426950408889634)
+    sc_eff = scale * float(_LOG2E) if use_exp2 else scale
+    w, bq, wp, bp, hdp = _prep_weights(wqkv, bqkv, wproj, bproj, nh, sc_eff)
     hd = c // nh
     if hdp > hd:
         koff = nh * hdp
         ones_cols = [2 * koff + h * hdp + hd for h in range(nh)]
         bq = bq.at[0, np.asarray(ones_cols)].set(1.0)
 
+    bias_eff = bias.astype(jnp.float32)
+    if use_exp2:
+        bias_eff = bias_eff * _LOG2E
     dtype = x.dtype
     cdt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
     row = lambda a: a.reshape(1, -1)
-    grid, xspec, scspec, wspecs, mspec, sample_blocks, _ = _packed_specs(
+    grid, xspec, scspec, wspecs, mspec, sample_blocks, full = _packed_specs(
         bw, n, c, b, group, mask, w, bq, wp, wfc1, wfc2, nh
     )
+    if stackv:
+        wp_arr = wp.reshape(nh, hdp, c)
+        wspecs[2] = full((nh, hdp, c))
+    else:
+        wp_arr = wp
     kernel = functools.partial(
         _kernel, num_heads=nh, hdp=hdp, ws=0, p=group, c=c, cdt=cdt,
         gelu_approx=gelu_approx,
         has_extra=extra is not None, has_mask=mask is not None,
         n=n, sample_blocks=sample_blocks,
+        use_exp2=use_exp2, stackv=stackv,
     )
     in_specs = (
         [xspec]
@@ -1073,16 +1117,19 @@ def _packed_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
     args += [
         scales.astype(jnp.float32),
         w.astype(cdt), row(bq),
-        wp.astype(cdt), row(bp),
+        wp_arr.astype(cdt), row(bp),
         row(g1.astype(jnp.float32)), row(b1.astype(jnp.float32)),
         row(g2.astype(jnp.float32)), row(b2.astype(jnp.float32)),
         wfc1.astype(cdt), row(bfc1.astype(jnp.float32)),
         wfc2.astype(cdt), row(bfc2.astype(jnp.float32)),
-        bias.astype(jnp.float32),
+        bias_eff,
     ]
     if mask is not None:
         in_specs.append(mspec)
-        args.append(jnp.asarray(np.asarray(mask, np.float32)))
+        m_np = np.asarray(mask, np.float32)
+        if use_exp2:
+            m_np = m_np * float(_LOG2E)
+        args.append(jnp.asarray(m_np))
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -1188,7 +1235,7 @@ def fused_packed_windows_block(
     x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
     wfc1, bfc1, wfc2, bfc2, bias,
     mask=None, scale=1.0, gelu_approx=True, interpret=None,
-    extra=None, branch_scales=None, group=None,
+    extra=None, branch_scales=None, group=None, variant=None,
 ):
     """Fused transformer block on pre-partitioned windows.
 
@@ -1223,6 +1270,7 @@ def fused_packed_windows_block(
                 x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
                 wfc1, bfc1, wfc2, bfc2, bias, scales,
                 mask, scale, gelu_approx, interpret, group=group,
+                variant=variant,
             )
 
         def op_fwd(*args):
@@ -1253,6 +1301,7 @@ def fused_packed_windows_block(
             x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
             wfc1, bfc1, wfc2, bfc2, bias, scales,
             mask, scale, gelu_approx, interpret, extra=extra, group=group,
+            variant=variant,
         )
 
     def op_ex_fwd(*args):
