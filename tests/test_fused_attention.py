@@ -335,13 +335,16 @@ def test_megakernel_backward_matches_jnp_vjp(rng, with_mask, with_extra):
         )
 
 
-@pytest.mark.parametrize("variant", ["v3", "stackv", "exp2+stackv"])
+@pytest.mark.parametrize(
+    "variant", ["v3", "stackv", "exp2+stackv", "pair", "pair4",
+                "pair+stackv", "exp2+pair4+stackv"]
+)
 @pytest.mark.parametrize("with_mask", [False, True])
 def test_packed_megakernel_matches_reference(rng, with_mask, variant):
     """fused_packed_windows_block (the ws=7 HAB path) matches the jnp
     packed reference, including window-count grouping and mask stream,
     for every packed-variant switch (stackv batched-head GEMMs, base-2
-    softmax)."""
+    softmax, block-diagonal window pairing)."""
     from tpu_superresolution_tpu.ops.pallas.fused_block import (
         _reference_packed,
         fused_packed_windows_block,

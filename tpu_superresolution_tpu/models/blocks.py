@@ -85,6 +85,53 @@ class ConvTranspose2dTorch(nn.Module):
         return y
 
 
+# Whole-model A/B switch for Conv3x3 (measurement scripts flip it);
+# per-module `impl=` overrides it.
+CONV3X3_IMPL = "gemm"
+
+
+class Conv3x3(nn.Module):
+    """Drop-in for ``nn.Conv(features, (3, 3), SAME)`` — identical
+    {kernel, bias} param tree — that computes the conv as nine shifted
+    GEMMs (ops/conv_gemm.py) by default.
+
+    Why: XLA's conv op at the transformer-trunk shapes (NHWC, B=1,
+    C 64-180) interleaved with Pallas megakernel calls measures
+    ~30-40x its roofline in-model (PARITY.md round 3: the two CAB
+    convs cost HAT ~6 ms; the same fix measured 93.0 -> 87.0 ms whole
+    forward).  ``impl="xla"`` keeps the conv op selectable for A/B.
+    Input-layer convs (Cin=3) stay on ``nn.Conv`` — K=3 GEMMs waste
+    the MXU and the conv op handles the channel pad itself.
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    impl: Optional[str] = None  # None -> module global CONV3X3_IMPL
+
+    @nn.compact
+    def __call__(self, x):
+        from tpu_superresolution_tpu.ops.conv_gemm import conv3x3_gemm
+
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features), self.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+        )
+        impl = CONV3X3_IMPL if self.impl is None else self.impl
+        x = x.astype(self.dtype)
+        if impl == "gemm":
+            return conv3x3_gemm(x, kernel, bias)
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(self.dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(self.dtype)
+
+
 class DenseParams(nn.Module):
     """Declares nn.Dense-compatible {kernel, bias} params and returns
     them raw — used where a fused Pallas kernel consumes the projection

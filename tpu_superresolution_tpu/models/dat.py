@@ -35,6 +35,7 @@ import numpy as np
 
 from tpu_superresolution_tpu.core.config import DATConfig, register_model
 from tpu_superresolution_tpu.models.blocks import (
+    Conv3x3,
     PixelShuffleDirect,
     PixelShuffleUpsample,
     PLayerNorm,
@@ -417,14 +418,13 @@ class ResidualGroup(nn.Module):
                 self.attn_impl, self.dtype, name=f"blocks_{j}",
             )(x, train)
         if self.resi_connection == "1conv":
-            x = nn.Conv(self.dim, (3, 3), padding=((1, 1), (1, 1)),
-                        dtype=self.dtype, name="conv")(x)
+            x = Conv3x3(self.dim, dtype=self.dtype, name="conv")(x)
         else:
-            x = nn.Conv(self.dim // 4, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv_0")(x)
+            x = Conv3x3(self.dim // 4, dtype=self.dtype, name="conv_0")(x)
             x = nn.leaky_relu(x, 0.2)
             x = nn.Conv(self.dim // 4, (1, 1), dtype=self.dtype, name="conv_2")(x)
             x = nn.leaky_relu(x, 0.2)
-            x = nn.Conv(self.dim, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv_4")(x)
+            x = Conv3x3(self.dim, dtype=self.dtype, name="conv_4")(x)
         return x + res
 
 
@@ -463,19 +463,17 @@ class DAT(nn.Module):
             start += depth
         feats = PLayerNorm(dtype=dt, name="norm")(feats)
         if cfg.resi_connection == "1conv":
-            feats = nn.Conv(cfg.embed_dim, (3, 3), padding=((1, 1), (1, 1)),
-                            dtype=dt, name="conv_after_body")(feats)
+            feats = Conv3x3(cfg.embed_dim, dtype=dt, name="conv_after_body")(feats)
         else:
-            feats = nn.Conv(cfg.embed_dim // 4, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="conv_after_body_0")(feats)
+            feats = Conv3x3(cfg.embed_dim // 4, dtype=dt, name="conv_after_body_0")(feats)
             feats = nn.leaky_relu(feats, 0.2)
             feats = nn.Conv(cfg.embed_dim // 4, (1, 1), dtype=dt, name="conv_after_body_2")(feats)
             feats = nn.leaky_relu(feats, 0.2)
-            feats = nn.Conv(cfg.embed_dim, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="conv_after_body_4")(feats)
+            feats = Conv3x3(cfg.embed_dim, dtype=dt, name="conv_after_body_4")(feats)
         x = feats + x
 
         if cfg.upsampler == "pixelshuffle":
-            x = nn.Conv(cfg.num_feat, (3, 3), padding=((1, 1), (1, 1)),
-                        dtype=dt, name="conv_before_upsample")(x)
+            x = Conv3x3(cfg.num_feat, dtype=dt, name="conv_before_upsample")(x)
             x = nn.leaky_relu(x, 0.01)
             x = upsample_and_last(
                 self, x, cfg.scale, cfg.num_feat, cfg.out_channels, dt,

@@ -34,6 +34,7 @@ import numpy as np
 from tpu_superresolution_tpu.core.config import HATConfig, register_model
 from tpu_superresolution_tpu.models.blocks import (
     AttnParams,
+    Conv3x3,
     LayerNormParams,
     Mlp,
     MlpParams,
@@ -75,35 +76,15 @@ class ChannelAttention(nn.Module):
         return x * jax.nn.sigmoid(y)
 
 
-class Conv3x3Params(nn.Module):
-    """Declares nn.Conv-compatible {kernel, bias} params and returns
-    them raw — the 9-shifted-GEMM conv consumes them directly while the
-    checkpoint tree stays identical to nn.Conv (interop unchanged)."""
-
-    features: int
-    param_dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, in_features: int):
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(),
-            (3, 3, in_features, self.features), self.param_dtype,
-        )
-        bias = self.param(
-            "bias", nn.initializers.zeros, (self.features,), self.param_dtype
-        )
-        return kernel, bias
-
-
 class CAB(nn.Module):
     """Conv attention branch (hat_arch.py:62-75).
 
     conv_impl "gemm" runs the two 3x3 convs as nine shifted GEMMs
-    (ops/conv_gemm.py): the XLA conv op at these shapes interleaved
-    with the Pallas megakernels costs ~1.35 ms per conv in-model vs
-    ~0.04 standalone (PARITY.md round 3); the GEMM form restores the
-    whole-model HAT forward from 93.0 to 87.0 ms.  "xla" keeps the
-    conv op for A/B.  Both impls share one param tree."""
+    (blocks.Conv3x3 / ops/conv_gemm.py): the XLA conv op at these
+    shapes interleaved with the Pallas megakernels costs ~1.35 ms per
+    conv in-model vs ~0.04 standalone (PARITY.md round 3); the GEMM
+    form restores the whole-model HAT forward from 93.0 to 87.0 ms.
+    "xla" keeps the conv op for A/B.  Both impls share one param tree."""
 
     compress_ratio: int = 3
     squeeze_factor: int = 30
@@ -112,27 +93,13 @@ class CAB(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from tpu_superresolution_tpu.ops.conv_gemm import conv3x3_gemm
-
         c = x.shape[-1]
         cm = c // self.compress_ratio
-        k1, b1 = Conv3x3Params(cm, name="conv1")(c)
-        k2, b2 = Conv3x3Params(c, name="conv2")(cm)
-        if self.conv_impl == "gemm":
-            y = conv3x3_gemm(x.astype(self.dtype), k1, b1)
-            y = nn.gelu(y, approximate=False)
-            y = conv3x3_gemm(y, k2, b2)
-        else:
-            dn = ("NHWC", "HWIO", "NHWC")
-            y = jax.lax.conv_general_dilated(
-                x.astype(self.dtype), k1.astype(self.dtype), (1, 1),
-                ((1, 1), (1, 1)), dimension_numbers=dn,
-            ) + b1.astype(self.dtype)
-            y = nn.gelu(y, approximate=False)
-            y = jax.lax.conv_general_dilated(
-                y, k2.astype(self.dtype), (1, 1),
-                ((1, 1), (1, 1)), dimension_numbers=dn,
-            ) + b2.astype(self.dtype)
+        y = Conv3x3(cm, dtype=self.dtype, impl=self.conv_impl,
+                    name="conv1")(x)
+        y = nn.gelu(y, approximate=False)
+        y = Conv3x3(c, dtype=self.dtype, impl=self.conv_impl,
+                    name="conv2")(y)
         return ChannelAttention(self.squeeze_factor, self.dtype, name="ca")(y)
 
 
@@ -617,8 +584,7 @@ class RHAG(nn.Module):
                  self.attn_impl, self.gelu_approximate, self.dtype,
                  name="overlap_attn")(x)
         if self.resi_connection == "1conv":
-            x = nn.Conv(self.dim, (3, 3), padding=((1, 1), (1, 1)),
-                        dtype=self.dtype, name="conv")(x)
+            x = Conv3x3(self.dim, dtype=self.dtype, name="conv")(x)
         # 'identity' -> no conv
         return x + res
 
@@ -663,13 +629,11 @@ class HAT(nn.Module):
             start += depth
         feats = PLayerNorm(dtype=dt, name="norm")(feats)
         if cfg.resi_connection == "1conv":
-            feats = nn.Conv(cfg.embed_dim, (3, 3), padding=((1, 1), (1, 1)),
-                            dtype=dt, name="conv_after_body")(feats)
+            feats = Conv3x3(cfg.embed_dim, dtype=dt, name="conv_after_body")(feats)
         x = feats + x
 
         # only 'pixelshuffle' reconstruction exists in the reference
-        x = nn.Conv(cfg.num_feat, (3, 3), padding=((1, 1), (1, 1)),
-                    dtype=dt, name="conv_before_upsample")(x)
+        x = Conv3x3(cfg.num_feat, dtype=dt, name="conv_before_upsample")(x)
         x = nn.leaky_relu(x, 0.01)
         x = upsample_and_last(
             self, x, cfg.scale, cfg.num_feat, cfg.out_channels, dt,

@@ -37,6 +37,7 @@ import numpy as np
 from tpu_superresolution_tpu.core.config import SwinIRConfig, register_model
 from tpu_superresolution_tpu.models.blocks import (
     AttnParams as _AttnParams,
+    Conv3x3,
     DenseParams,
     LayerNormParams,
     Mlp,
@@ -321,15 +322,13 @@ class RSTB(nn.Module):
                 name=f"blocks_{j}",
             )(x, deterministic)
         if self.resi_connection == "1conv":
-            x = nn.Conv(
-                self.dim, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv"
-            )(x)
+            x = Conv3x3(self.dim, dtype=self.dtype, name="conv")(x)
         else:  # 3conv bottleneck (network_swinir.py:466-471)
-            x = nn.Conv(self.dim // 4, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv_0")(x)
+            x = Conv3x3(self.dim // 4, dtype=self.dtype, name="conv_0")(x)
             x = nn.leaky_relu(x, 0.2)
             x = nn.Conv(self.dim // 4, (1, 1), dtype=self.dtype, name="conv_2")(x)
             x = nn.leaky_relu(x, 0.2)
-            x = nn.Conv(self.dim, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv_4")(x)
+            x = Conv3x3(self.dim, dtype=self.dtype, name="conv_4")(x)
         return x + res
 
 
@@ -398,22 +397,18 @@ class SwinIR(nn.Module):
             start += depth
         feats = PLayerNorm(dtype=dt, name="norm")(feats)
         if cfg.resi_connection == "1conv":
-            feats = nn.Conv(
-                cfg.embed_dim, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="conv_after_body"
-            )(feats)
+            feats = Conv3x3(cfg.embed_dim, dtype=dt, name="conv_after_body")(feats)
         else:
-            feats = nn.Conv(cfg.embed_dim // 4, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="conv_after_body_0")(feats)
+            feats = Conv3x3(cfg.embed_dim // 4, dtype=dt, name="conv_after_body_0")(feats)
             feats = nn.leaky_relu(feats, 0.2)
             feats = nn.Conv(cfg.embed_dim // 4, (1, 1), dtype=dt, name="conv_after_body_2")(feats)
             feats = nn.leaky_relu(feats, 0.2)
-            feats = nn.Conv(cfg.embed_dim, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="conv_after_body_4")(feats)
+            feats = Conv3x3(cfg.embed_dim, dtype=dt, name="conv_after_body_4")(feats)
         x = feats + x
 
         # 3. reconstruction
         if cfg.upsampler == "pixelshuffle":
-            x = nn.Conv(
-                cfg.num_feat, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="conv_before_upsample"
-            )(x)
+            x = Conv3x3(cfg.num_feat, dtype=dt, name="conv_before_upsample")(x)
             x = nn.leaky_relu(x, 0.01)  # torch nn.LeakyReLU default slope
             x = upsample_and_last(
                 self, x, cfg.scale, cfg.num_feat, cfg.out_channels, dt,
@@ -422,22 +417,19 @@ class SwinIR(nn.Module):
         elif cfg.upsampler == "pixelshuffledirect":
             x = PixelShuffleDirect(cfg.scale, cfg.out_channels, dt, name="upsample")(x)
         elif cfg.upsampler == "nearest+conv":
-            x = nn.Conv(cfg.num_feat, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="conv_before_upsample")(x)
+            x = Conv3x3(cfg.num_feat, dtype=dt, name="conv_before_upsample")(x)
             x = nn.leaky_relu(x, 0.01)
             x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
             x = nn.leaky_relu(
-                nn.Conv(cfg.num_feat, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="conv_up1")(x),
-                0.2,
+                Conv3x3(cfg.num_feat, dtype=dt, name="conv_up1")(x), 0.2
             )
             if cfg.scale == 4:
                 x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
                 x = nn.leaky_relu(
-                    nn.Conv(cfg.num_feat, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="conv_up2")(x),
-                    0.2,
+                    Conv3x3(cfg.num_feat, dtype=dt, name="conv_up2")(x), 0.2
                 )
             x = nn.leaky_relu(
-                nn.Conv(cfg.num_feat, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="conv_hr")(x),
-                0.2,
+                Conv3x3(cfg.num_feat, dtype=dt, name="conv_hr")(x), 0.2
             )
             x = nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="conv_last")(x)
         else:  # denoise / artifact-reduction: input + conv_last(body)

@@ -82,11 +82,12 @@ FOLD_ODD_MIN_B = 48
 # grid steps win until VMEM pressure bites.
 PACKED_GROUP = 16
 
-# Forward-kernel variant for the packed path ("v3"/"exp2"/"stackv"
-# tokens as in MEGA_VARIANT; "pair" is strip-only).  The packed chain
-# is latency-bound on its serial per-step op sequence (PARITY.md round
-# 3), so collapsing the per-head score/AV loop into stacked batched
-# GEMMs (stackv) attacks exactly that.
+# Forward-kernel variant for the packed path (same tokens as
+# MEGA_VARIANT).  The packed chain is latency-bound on its serial
+# per-step op sequence (PARITY.md round 3); "stackv" collapses the
+# per-head score/AV loop into stacked batched GEMMs and "pair"/"pair4"
+# cut the count of tiny per-window matmuls by sharing one block-
+# diagonal score block across 2/4 consecutive windows.
 PACKED_VARIANT = "v3"
 
 
@@ -1071,10 +1072,17 @@ def _packed_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
     b = scales.shape[0]
     nh = bias.shape[0]
     vkw = _variant_kwargs(PACKED_VARIANT if variant is None else variant)
-    if vkw["pairw"] != 1:
-        raise ValueError("'pair' variants are strip-only (packed blocks "
-                         "already span full last-two dims)")
     use_exp2, stackv = vkw["use_exp2"], vkw["stackv"]
+    # Window pairing (same block-diagonal trick as the strip path):
+    # consecutive windows in a group share one [pairw*N, pairw*N] score
+    # block, cutting the count of tiny batched matmuls in the serial
+    # per-step chain by pairw at the cost of pairw x score FLOPs (the
+    # -1e9 off-diagonal entries).  HAT's packed path is latency-bound
+    # on exactly that chain (PARITY.md round 3).
+    pairw = vkw["pairw"]
+    if group % pairw:
+        pairw = 1
+    n2 = n * pairw
     _LOG2E = np.float32(1.4426950408889634)
     sc_eff = scale * float(_LOG2E) if use_exp2 else scale
     w, bq, wp, bp, hdp = _prep_weights(wqkv, bqkv, wproj, bproj, nh, sc_eff)
@@ -1087,12 +1095,27 @@ def _packed_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
     bias_eff = bias.astype(jnp.float32)
     if use_exp2:
         bias_eff = bias_eff * _LOG2E
+    if pairw > 1:
+        rpb = jnp.full((nh, n2, n2), -1e9, jnp.float32)
+        for i in range(pairw):
+            rpb = jax.lax.dynamic_update_slice(
+                rpb, bias_eff, (0, i * n, i * n)
+            )
+        bias_eff = rpb
     dtype = x.dtype
     cdt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
     row = lambda a: a.reshape(1, -1)
     grid, xspec, scspec, wspecs, mspec, sample_blocks, full = _packed_specs(
         bw, n, c, b, group, mask, w, bq, wp, wfc1, wfc2, nh
     )
+    if pairw > 1:
+        wspecs[-1] = full((nh, n2, n2))
+        if mask is not None:
+            mspec = pl.BlockSpec(
+                (group // pairw, n2, n2),
+                lambda i: (i % sample_blocks, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
     if stackv:
         wp_arr = wp.reshape(nh, hdp, c)
         wspecs[2] = full((nh, hdp, c))
@@ -1103,7 +1126,7 @@ def _packed_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
         gelu_approx=gelu_approx,
         has_extra=extra is not None, has_mask=mask is not None,
         n=n, sample_blocks=sample_blocks,
-        use_exp2=use_exp2, stackv=stackv,
+        use_exp2=use_exp2, pairw=pairw, stackv=stackv,
     )
     in_specs = (
         [xspec]
@@ -1129,6 +1152,16 @@ def _packed_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
         m_np = np.asarray(mask, np.float32)
         if use_exp2:
             m_np = m_np * float(_LOG2E)
+        if pairw > 1:
+            # blockdiag(mask of windows pairw*j + i) — consecutive
+            # windows of the padded stream share one score block (the
+            # off-diagonal -1e9 rides the paired rpb table)
+            nwp = m_np.shape[0]
+            m2 = np.zeros((nwp // pairw, n2, n2), np.float32)
+            for i in range(pairw):
+                m2[:, i * n : (i + 1) * n, i * n : (i + 1) * n] = \
+                    m_np[i::pairw]
+            m_np = m2
         args.append(jnp.asarray(m_np))
     return pl.pallas_call(
         kernel,
