@@ -589,3 +589,111 @@ def test_megakernel_sample_fold_grads(rng):
     np.testing.assert_allclose(
         np.asarray(g), np.asarray(g_ref), atol=2e-4, rtol=1e-3
     )
+
+
+@pytest.mark.parametrize("variant", ["v3", "stackv", "pair", "exp2+pair+stackv"])
+@pytest.mark.parametrize("with_mask,with_extra", [(False, False), (True, True)])
+def test_spatial_megakernel_matches_reference(rng, with_mask, with_extra,
+                                              variant):
+    """fused_spatial_windows_block (window-row blocks straight off the
+    spatial array, no XLA partition/pad) matches partition -> packed
+    reference -> reverse, for every variant switch."""
+    import tpu_superresolution_tpu.ops.pallas.fused_block as fb
+
+    b, h, w, c, nh, ws = 2, 12, 12, 12, 3, 3
+    n = ws * ws
+    nW = (h // ws) * (w // ws)
+    r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)
+    x = r(b, h, w, c)
+    weights = [r(c), r(c), r(c, 3 * c), r(3 * c), r(c, c), r(c),
+               r(c), r(c), r(c, 2 * c), r(2 * c), r(2 * c, c), r(c)]
+    bias = r(nh, n, n)
+    mask = None
+    if with_mask:
+        mask = np.where(
+            rng.random((nW, n, n)) > 0.8, -100.0, 0.0
+        ).astype(np.float32)
+    extra = r(b, h, w, c) if with_extra else None
+    scales = jnp.ones((b, 2), jnp.float32)
+    sc = (c // nh) ** -0.5
+
+    out = fb.fused_spatial_windows_block(
+        x, *weights, bias, ws, mask, sc, False,
+        extra=extra, branch_scales=scales, variant=variant,
+    )
+    ref = fb._reference_spatial(
+        x, *weights, bias, scales, ws, mask, sc, False, extra=extra
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=3e-5
+    )
+
+
+@pytest.mark.parametrize("with_extra", [False, True])
+def test_spatial_megakernel_grads(rng, with_extra):
+    """Spatial-forward + packed-Pallas-backward custom_vjp matches the
+    jnp vjp of the reference composition."""
+    import tpu_superresolution_tpu.ops.pallas.fused_block as fb
+
+    b, h, w, c, nh, ws = 1, 12, 12, 12, 3, 3
+    n = ws * ws
+    nW = (h // ws) * (w // ws)
+    r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)
+    x = r(b, h, w, c)
+    weights = [r(c), r(c), r(c, 3 * c), r(3 * c), r(c, c), r(c),
+               r(c), r(c), r(c, 2 * c), r(2 * c), r(2 * c, c), r(c)]
+    bias = r(nh, n, n)
+    mask = np.where(
+        rng.random((nW, n, n)) > 0.8, -100.0, 0.0
+    ).astype(np.float32)
+    extra = r(b, h, w, c) if with_extra else None
+    scales = jnp.ones((b, 2), jnp.float32)
+    sc = (c // nh) ** -0.5
+
+    def loss_k(x, *weights):
+        out = fb.fused_spatial_windows_block(
+            x, *weights[:12], weights[12], ws, mask, sc, False,
+            extra=extra, branch_scales=scales,
+        )
+        return jnp.sum(out ** 2)
+
+    def loss_r(x, *weights):
+        out = fb._reference_spatial(
+            x, *weights[:12], weights[12], scales, ws, mask, sc, False,
+            extra=extra,
+        )
+        return jnp.sum(out ** 2)
+
+    argn = tuple(range(14))
+    gk = jax.grad(loss_k, argnums=argn)(x, *weights, bias)
+    gr = jax.grad(loss_r, argnums=argn)(x, *weights, bias)
+    for a, b_ in zip(gk, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=2e-4
+        )
+
+
+def test_hat_spatial_packed_toggle(rng):
+    """HAT forward with SPATIAL_PACKED on matches the classic packed
+    path exactly (same params, same input)."""
+    import tpu_superresolution_tpu.ops.pallas.fused_block as fb
+    from tpu_superresolution_tpu.core.config import HATConfig, build_model
+
+    cfg = HATConfig(
+        scale=2, embed_dim=12, depths=(2,), num_heads=(3,),
+        window_size=7, num_feat=8, compress_ratio=3, squeeze_factor=4,
+        overlap_ratio=0.5, mlp_ratio=2.0, attention_impl="fused",
+    )
+    model = build_model(cfg)
+    x = jnp.asarray(rng.random((1, 21, 21, 3)), jnp.float32)
+    v = model.init(jax.random.key(0), x, train=False)
+    y_classic = model.apply(v, x, train=False)
+    orig = fb.SPATIAL_PACKED
+    try:
+        fb.SPATIAL_PACKED = True
+        y_spatial = model.apply(v, x, train=False)
+    finally:
+        fb.SPATIAL_PACKED = orig
+    np.testing.assert_allclose(
+        np.asarray(y_spatial), np.asarray(y_classic), atol=3e-5
+    )

@@ -181,13 +181,17 @@ class PLayerNorm(nn.Module):
     are unaffected) that routes to the one-pass Pallas kernel on TPU.
     XLA's layernorm lowering measured ~20x its HBM roofline at
     production spatial shapes (PARITY.md round 3); DAT alone runs 30+
-    of them per forward (dat_arch.py:531-565)."""
+    of them per forward (dat_arch.py:531-565).  ``impl="xla"`` keeps
+    the jnp formula selectable for models where XLA fuses the LN into
+    neighbouring ops better than a separate Pallas call."""
 
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    impl: Optional[str] = None  # None -> "pallas"; "xla" -> jnp formula
 
     @nn.compact
     def __call__(self, x):
+        from tpu_superresolution_tpu.ops.pallas.fused_block import _ln
         from tpu_superresolution_tpu.ops.pallas.layernorm import (
             layernorm_spatial,
         )
@@ -199,7 +203,10 @@ class PLayerNorm(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (c,), self.param_dtype
         )
-        return layernorm_spatial(x.astype(self.dtype), scale, bias)
+        x = x.astype(self.dtype)
+        if self.impl == "xla":
+            return _ln(x.astype(jnp.float32), scale, bias).astype(x.dtype)
+        return layernorm_spatial(x, scale, bias)
 
 
 class MlpParams(nn.Module):

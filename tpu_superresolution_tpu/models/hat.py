@@ -285,6 +285,19 @@ class HAB(nn.Module):
             # the whole block per G-window group in one Pallas program.
             from tpu_superresolution_tpu.ops.pallas import fused_block as _fb
 
+            if _fb.SPATIAL_PACKED:
+                # Spatial packed kernel: window-row blocks read straight
+                # from the (rolled) spatial array — no XLA partition /
+                # token pad / window pad / reverse around the block.
+                if scales is None:
+                    scales = jnp.ones((b, 2), jnp.float32)
+                out = _fb.fused_spatial_windows_block(
+                    xs, *wargs, bias.astype(jnp.float32), ws,
+                    mask, (c // nh) ** -0.5, self.gelu_approximate,
+                    extra=es, branch_scales=scales,
+                )
+                return cyclic_unshift(out, shift)
+
             n = ws * ws
             npad = (-n) % 8
             nW = (h // ws) * (w // ws)

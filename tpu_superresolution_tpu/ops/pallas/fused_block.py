@@ -90,6 +90,12 @@ PACKED_GROUP = 16
 # diagonal score block across 2/4 consecutive windows.
 PACKED_VARIANT = "v3"
 
+# Use the SPATIAL packed forward (fused_spatial_windows_block) for
+# ws%8!=0 blocks: window-row x blocks read straight from the spatial
+# array, killing the per-block XLA partition/pad/reverse copies the
+# classic packed path pays.  A/B switch for measurement.
+SPATIAL_PACKED = False
+
 
 def _variant_kwargs(variant: str) -> dict:
     kw = {"use_exp2": False, "pairw": 1, "stackv": False}
@@ -154,12 +160,18 @@ def _gelu(x, approximate):
 def _kernel(x_ref, *refs,
             num_heads, hdp, ws, p, c, cdt, gelu_approx,
             has_extra, has_mask, n=None, sample_blocks=0,
-            use_exp2=False, pairw=1, stackv=False):
+            use_exp2=False, pairw=1, stackv=False, spatial_ws=0):
     # Strip mode (default): blocks are (1, p*ws, ws, C) vertical strips,
     # grid (B, nchunks, nww), mask blocks (p, 1, n, n).  Packed mode
     # (n given, sample_blocks>0): blocks are (G, n, C) pre-partitioned
     # windows, 1-D grid over window blocks, mask blocks (G, n, n), and
-    # the sample index is block_id // sample_blocks.
+    # the sample index is block_id // sample_blocks.  Spatial mode
+    # (spatial_ws>0): blocks are (1, ws, W, C) window-ROW strips read
+    # straight from the spatial array (legal for any ws because the
+    # block's last two dims equal the array dims), grid (B, nwh), p =
+    # nww windows rearranged to window-major in VMEM, mask blocks
+    # (1, nww/pairw, n2, n2).  This kills the XLA window partition /
+    # pad / reverse copies the packed path pays around every block.
     #
     # v4 variant switches (ablated on hardware — see PARITY.md):
     # - use_exp2: softmax in base-2.  The caller pre-scales q weights,
@@ -193,7 +205,19 @@ def _kernel(x_ref, *refs,
     if n is None:
         n = ws * ws
     t = p * n
-    xf = x_ref[:].reshape(t, c).astype(jnp.float32)
+
+    def win_major(ref):
+        # (1, sw, p*sw, C) spatial block -> [p, n, C]-flat window-major
+        # rows: split the column axis into p windows and swap it in
+        # front of the row axis (a leading-dims transpose in VMEM).
+        sw = spatial_ws
+        r4 = ref[:].reshape(sw, p, sw, c)
+        return r4.transpose(1, 0, 2, 3).reshape(t, c)
+
+    if spatial_ws:
+        xf = win_major(x_ref).astype(jnp.float32)
+    else:
+        xf = x_ref[:].reshape(t, c).astype(jnp.float32)
 
     # ---- LN1 -> qkv ----
     y = _ln(xf, g1_ref[:], b1_ref[:]).astype(cdt)
@@ -230,7 +254,12 @@ def _kernel(x_ref, *refs,
 
     mterm = None
     if has_mask:
-        mterm = mask_ref[:] if sample_blocks else mask_ref[:, 0]  # [PP, N2, N2]
+        if spatial_ws:
+            mterm = mask_ref[0]  # block (1, PP, N2, N2)
+        elif sample_blocks:
+            mterm = mask_ref[:]
+        else:
+            mterm = mask_ref[:, 0]  # [PP, N2, N2]
     if stackv:
         # Mosaic's tpu.matmul supports at most ONE batch dim (measured —
         # the [nH, PP] two-batch-dim form is a verification error), so
@@ -312,7 +341,8 @@ def _kernel(x_ref, *refs,
     if has_extra:
         # Caller-supplied additive term on the attention residual
         # (HAT's conv_scale * CAB branch — hat_arch.py:307-308).
-        x1 = x1 + e_ref[:].reshape(t, c).astype(jnp.float32)
+        ef = win_major(e_ref) if spatial_ws else e_ref[:].reshape(t, c)
+        x1 = x1 + ef.astype(jnp.float32)
 
     # ---- LN2 -> MLP -> residual ----
     y2 = _ln(x1, g2_ref[:], b2_ref[:]).astype(cdt)
@@ -327,7 +357,12 @@ def _kernel(x_ref, *refs,
     ) + bfc2_ref[:]
 
     out = x1 + mlp * sc_ref[bb, 1]
-    o_ref[:] = out.astype(o_ref.dtype).reshape(x_ref.shape)
+    if spatial_ws:
+        sw = spatial_ws
+        o4 = out.astype(o_ref.dtype).reshape(p, sw, sw, c)
+        o_ref[:] = o4.transpose(1, 0, 2, 3).reshape(x_ref.shape)
+    else:
+        o_ref[:] = out.astype(o_ref.dtype).reshape(x_ref.shape)
 
 
 def _gelu_grad(x, approximate):
@@ -1173,6 +1208,132 @@ def _packed_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
     )(*args)
 
 
+def _spatial_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+                     wfc1, bfc1, wfc2, bfc2, bias, scales, ws,
+                     mask, scale, gelu_approx, interpret, extra=None,
+                     variant=None):
+    """Packed-block forward reading window-ROW strips (1, ws, W, C)
+    straight from the spatial array — no XLA window partition, token
+    pad or window-count pad.  Any ws is Mosaic-legal here because the
+    x block's last two dims equal the array dims; the window-major
+    rearrangement happens in VMEM (_kernel's spatial mode)."""
+    b, h, w_, c = x.shape
+    assert h % ws == 0 and w_ % ws == 0, (h, w_, ws)
+    nwh, nww = h // ws, w_ // ws
+    n = ws * ws
+    nh = bias.shape[0]
+    vkw = _variant_kwargs(PACKED_VARIANT if variant is None else variant)
+    use_exp2, stackv = vkw["use_exp2"], vkw["stackv"]
+    pairw = vkw["pairw"]
+    if nww % pairw:
+        pairw = 1
+    n2 = n * pairw
+    _LOG2E = np.float32(1.4426950408889634)
+    sc_eff = scale * float(_LOG2E) if use_exp2 else scale
+    w, bq, wp, bp, hdp = _prep_weights(wqkv, bqkv, wproj, bproj, nh, sc_eff)
+    hd = c // nh
+    if hdp > hd:
+        koff = nh * hdp
+        ones_cols = [2 * koff + h_ * hdp + hd for h_ in range(nh)]
+        bq = bq.at[0, np.asarray(ones_cols)].set(1.0)
+
+    bias_eff = bias.astype(jnp.float32)
+    if use_exp2:
+        bias_eff = bias_eff * _LOG2E
+    if pairw > 1:
+        rpb = jnp.full((nh, n2, n2), -1e9, jnp.float32)
+        for i in range(pairw):
+            rpb = jax.lax.dynamic_update_slice(
+                rpb, bias_eff, (0, i * n, i * n)
+            )
+        bias_eff = rpb
+    dtype = x.dtype
+    cdt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+    row = lambda a: a.reshape(1, -1)
+
+    grid = (b, nwh)
+    xspec = pl.BlockSpec(
+        (1, ws, w_, c), lambda bb, r: (bb, r, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    scspec = pl.BlockSpec(
+        (b, 2), lambda bb, r: (0, 0), memory_space=pltpu.SMEM
+    )
+    const = lambda *shape: (lambda bb, r: tuple([0] * len(shape)))
+    full = lambda shape: pl.BlockSpec(
+        shape, const(*shape), memory_space=pltpu.VMEM
+    )
+    if stackv:
+        wp_arr = wp.reshape(nh, hdp, c)
+        wp_spec = full((nh, hdp, c))
+    else:
+        wp_arr = wp
+        wp_spec = full((wp.shape[0], c))
+    wspecs = [
+        full((c, w.shape[1])), full((1, bq.shape[1])),
+        wp_spec, full((1, c)),
+        full((1, c)), full((1, c)), full((1, c)), full((1, c)),
+        full(wfc1.shape), full((1, wfc1.shape[1])),
+        full(wfc2.shape), full((1, c)),
+        full((nh, n2, n2)),
+    ]
+    kernel = functools.partial(
+        _kernel, num_heads=nh, hdp=hdp, ws=0, p=nww, c=c, cdt=cdt,
+        gelu_approx=gelu_approx,
+        has_extra=extra is not None, has_mask=mask is not None,
+        n=n, sample_blocks=0,
+        use_exp2=use_exp2, pairw=pairw, stackv=stackv, spatial_ws=ws,
+    )
+    in_specs = (
+        [xspec]
+        + ([xspec] if extra is not None else [])
+        + [scspec]
+        + wspecs
+    )
+    args = [x]
+    if extra is not None:
+        args.append(extra.astype(dtype))
+    args += [
+        scales.astype(jnp.float32),
+        w.astype(cdt), row(bq),
+        wp_arr.astype(cdt), row(bp),
+        row(g1.astype(jnp.float32)), row(b1.astype(jnp.float32)),
+        row(g2.astype(jnp.float32)), row(b2.astype(jnp.float32)),
+        wfc1.astype(cdt), row(bfc1.astype(jnp.float32)),
+        wfc2.astype(cdt), row(bfc2.astype(jnp.float32)),
+        bias_eff,
+    ]
+    if mask is not None:
+        # [nW, N, N] window-major -> [nwh, nww, N, N]; row r streams its
+        # own window-row of masks (optionally pair-blockdiag'd on the
+        # window-column axis)
+        m_np = np.asarray(mask, np.float32).reshape(nwh, nww, n, n)
+        if use_exp2:
+            m_np = m_np * float(_LOG2E)
+        if pairw > 1:
+            m2 = np.zeros((nwh, nww // pairw, n2, n2), np.float32)
+            for i in range(pairw):
+                m2[:, :, i * n : (i + 1) * n, i * n : (i + 1) * n] = \
+                    m_np[:, i::pairw]
+            m_np = m2
+        in_specs.append(
+            pl.BlockSpec(
+                (1,) + m_np.shape[1:],
+                lambda bb, r: (r, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(jnp.asarray(m_np))
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, dtype),
+        interpret=interpret,
+    )(*args)
+
+
 def _packed_backward(ct, x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
                      wfc1, bfc1, wfc2, bfc2, bias, scales,
                      mask, scale, gelu_approx, interpret, has_extra,
@@ -1353,6 +1514,148 @@ def fused_packed_windows_block(
             *res,
         )
         return vjp(ct.astype(res[0].dtype))
+
+    op_ex.defvjp(op_ex_fwd, op_ex_bwd)
+    return op_ex(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+                 wfc1, bfc1, wfc2, bfc2, bias, branch_scales, extra)
+
+
+def _reference_spatial(x, g1, b1, wqkv, bqkv, wproj, bproj,
+                       g2, b2, wfc1, bfc1, wfc2, bfc2, bias, scales, ws,
+                       mask, scale, gelu_approx, extra=None):
+    """jnp oracle for the spatial packed block: XLA partition ->
+    _reference_packed -> reverse."""
+    from tpu_superresolution_tpu.ops.window import (
+        window_partition,
+        window_reverse,
+    )
+
+    b, h, w_, c = x.shape
+    xw = window_partition(x, ws)
+    ew = None if extra is None else window_partition(extra, ws)
+    out = _reference_packed(
+        xw, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+        wfc1, bfc1, wfc2, bfc2, bias, scales,
+        mask, scale, gelu_approx, extra=ew,
+    )
+    return window_reverse(out, ws, h, w_)
+
+
+def fused_spatial_windows_block(
+    x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+    wfc1, bfc1, wfc2, bfc2, bias, ws,
+    mask=None, scale=1.0, gelu_approx=True, interpret=None,
+    extra=None, branch_scales=None, variant=None,
+):
+    """Fused transformer block on SPATIAL input for ws%8!=0 windows.
+
+    x: [B, H, W, C] with H % ws == 0 and W % ws == 0 (HAT pads via
+    check_image_size before the residual groups — hat_arch.py:870).
+    mask: [nW, N, N] trace-time table (shift_attn_mask) or None.
+
+    Forward: one Pallas program per (sample, window-row) reading a
+    (1, ws, W, C) block — no XLA window partition / token pad /
+    window-count pad (those copies cost the classic packed path
+    several ms per HAT forward; PARITY.md round 3).  Backward: XLA
+    partition + the packed Pallas backward + reverse (same cost as
+    the classic path's training step).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, h, w_, c = x.shape
+    n = ws * ws
+    nW = (h // ws) * (w_ // ws)
+    if branch_scales is None:
+        branch_scales = jnp.ones((b, 2), jnp.float32)
+
+    def bwd_packed(res_x, res_extra, ct, weights, scales):
+        # Mirror the classic packed path's padding, then reuse
+        # _packed_backward; map x/extra/rpb grads back to spatial.
+        from tpu_superresolution_tpu.ops.window import (
+            window_partition,
+            window_reverse,
+        )
+
+        (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+         wfc1, bfc1, wfc2, bfc2, bias) = weights
+        group = PACKED_GROUP
+        npad = (-n) % 8
+        wpad = (-nW) % group
+        while group > 1 and (nW + wpad) % group:
+            group //= 2
+
+        def part(a):
+            aw = window_partition(a, ws).reshape(b, nW, n, c)
+            if wpad or npad:
+                aw = jnp.pad(aw, ((0, 0), (0, wpad), (0, npad), (0, 0)))
+            return aw.reshape(b * (nW + wpad), n + npad, c)
+
+        bias_p = jnp.pad(
+            bias.astype(jnp.float32),
+            ((0, 0), (0, npad), (0, npad)), constant_values=-1e9,
+        )
+        mask_p = None
+        if mask is not None:
+            mask_p = np.pad(
+                np.asarray(mask, np.float32),
+                ((0, wpad), (0, npad), (0, npad)),
+            )
+        grads = _packed_backward(
+            part(ct), part(res_x), g1, b1, wqkv, bqkv, wproj, bproj,
+            g2, b2, wfc1, bfc1, wfc2, bfc2, bias_p, scales,
+            mask_p, scale, gelu_approx, interpret,
+            has_extra=res_extra is not None,
+            extra=None if res_extra is None else part(res_extra),
+            group=group,
+        )
+
+        def unpart(a):
+            a4 = a.reshape(b, nW + wpad, n + npad, c)[:, :nW, :n]
+            return window_reverse(a4.reshape(b * nW, n, c), ws, h, w_)
+
+        grads = list(grads)
+        grads[0] = unpart(grads[0])
+        grads[13] = grads[13][:, :n, :n]  # rpb pad slice
+        if res_extra is not None:
+            grads[15] = unpart(grads[15])
+        return tuple(grads)
+
+    if extra is None:
+
+        @jax.custom_vjp
+        def op(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+               wfc1, bfc1, wfc2, bfc2, bias, scales):
+            return _spatial_forward(
+                x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+                wfc1, bfc1, wfc2, bfc2, bias, scales, ws,
+                mask, scale, gelu_approx, interpret, variant=variant,
+            )
+
+        def op_fwd(*args):
+            return op(*args), args
+
+        def op_bwd(res, ct):
+            return bwd_packed(res[0], None, ct, res[1:14], res[14])
+
+        op.defvjp(op_fwd, op_bwd)
+        return op(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+                  wfc1, bfc1, wfc2, bfc2, bias, branch_scales)
+
+    @jax.custom_vjp
+    def op_ex(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+              wfc1, bfc1, wfc2, bfc2, bias, scales, extra):
+        return _spatial_forward(
+            x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+            wfc1, bfc1, wfc2, bfc2, bias, scales, ws,
+            mask, scale, gelu_approx, interpret, extra=extra,
+            variant=variant,
+        )
+
+    def op_ex_fwd(*args):
+        return op_ex(*args), args
+
+    def op_ex_bwd(res, ct):
+        return bwd_packed(res[0], res[15], ct, res[1:14], res[14])
 
     op_ex.defvjp(op_ex_fwd, op_ex_bwd)
     return op_ex(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
