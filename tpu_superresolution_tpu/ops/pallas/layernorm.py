@@ -75,12 +75,18 @@ def pallas_layernorm(x, scale, bias, interpret=None, block_rows=2048):
 def layernorm_spatial(x, scale, bias, interpret=None):
     """Drop-in for `_ln(x.astype(f32), g, b).astype(dt)` on spatial
     maps: Pallas on TPU, the jnp formula elsewhere (grad support rides
-    jax.vjp of the jnp path via custom_vjp)."""
+    jax.vjp of the jnp path via custom_vjp).  Small inputs stay on the
+    jnp formula even on TPU — below ~4k rows the kernel-launch cost
+    exceeds any HBM saving and a separate Pallas call blocks XLA from
+    fusing the neighbours."""
     from tpu_superresolution_tpu.ops.pallas.fused_block import _ln
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if interpret:
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    if interpret or rows < 4096:
         return _ln(x.astype(jnp.float32), scale, bias).astype(x.dtype)
 
     @jax.custom_vjp
