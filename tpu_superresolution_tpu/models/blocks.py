@@ -89,6 +89,11 @@ class ConvTranspose2dTorch(nn.Module):
 # per-module `impl=` overrides it.
 CONV3X3_IMPL = "gemm"
 
+# Input-layer (Cin=3) convs route separately: K=3 GEMMs waste the MXU,
+# so the conv op stays the default there — but the same in-model
+# pathology could apply, so it is A/B-able independently.
+CONV3X3_INPUT_IMPL = "xla"
+
 
 class Conv3x3(nn.Module):
     """Drop-in for ``nn.Conv(features, (3, 3), SAME)`` — identical

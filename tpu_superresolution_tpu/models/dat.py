@@ -450,8 +450,10 @@ class DAT(nn.Module):
             mean = jnp.zeros((cfg.in_channels,), dtype=dt)
         x = (x - mean) * cfg.img_range
 
-        x = nn.Conv(cfg.embed_dim, (3, 3), padding=((1, 1), (1, 1)),
-                    dtype=dt, name="conv_first")(x)
+        from tpu_superresolution_tpu.models import blocks as _blocks
+
+        x = Conv3x3(cfg.embed_dim, dtype=dt,
+                    impl=_blocks.CONV3X3_INPUT_IMPL, name="conv_first")(x)
 
         # before_RG: LayerNorm on channels (dat_arch.py:765-768)
         feats = PLayerNorm(dtype=dt, name="before_RG_norm")(x)

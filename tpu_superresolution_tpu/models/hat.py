@@ -620,8 +620,10 @@ class HAT(nn.Module):
             mean = jnp.zeros((cfg.in_channels,), dtype=dt)
         x = (x - mean) * cfg.img_range
 
-        x = nn.Conv(cfg.embed_dim, (3, 3), padding=((1, 1), (1, 1)),
-                    dtype=dt, name="conv_first")(x)
+        from tpu_superresolution_tpu.models import blocks as _blocks
+
+        x = Conv3x3(cfg.embed_dim, dtype=dt,
+                    impl=_blocks.CONV3X3_INPUT_IMPL, name="conv_first")(x)
 
         feats = x
         if cfg.patch_norm:  # hat_arch.py:758 default

@@ -354,9 +354,10 @@ class SwinIR(nn.Module):
         x_norm_in = x
 
         # 1. shallow feature extraction
-        x = nn.Conv(
-            cfg.embed_dim, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="conv_first"
-        )(x)
+        from tpu_superresolution_tpu.models import blocks as _blocks
+
+        x = Conv3x3(cfg.embed_dim, dtype=dt,
+                    impl=_blocks.CONV3X3_INPUT_IMPL, name="conv_first")(x)
 
         # 2. deep feature extraction
         feats = x
