@@ -86,8 +86,12 @@ class ConvTranspose2dTorch(nn.Module):
 
 
 # Whole-model A/B switch for Conv3x3 (measurement scripts flip it);
-# per-module `impl=` overrides it.
-CONV3X3_IMPL = "gemm"
+# per-module `impl=` overrides it.  Default "xla" until the queued
+# on-chip A/B proves gemm for the SwinIR/DAT trunks: only HAT's CAB
+# shapes are measured (93.0 -> 87.0 ms, CAB pins impl="gemm"), and at
+# batched shapes (bench b=25) the conv op is likely fine while the
+# GEMM form reads the padded activation 9x.
+CONV3X3_IMPL = "xla"
 
 # Input-layer (Cin=3) convs route separately: K=3 GEMMs waste the MXU,
 # so the conv op stays the default there — but the same in-model

@@ -76,13 +76,11 @@ class DynamicPosBias(nn.Module):
         x = nn.Dense(self.pos_dim, kernel_init=_TRUNC02, dtype=self.dtype,
                      name="pos_proj")(biases)
         for i, feat in ((1, self.pos_dim), (2, self.pos_dim), (3, self.num_heads)):
-            # impl="xla": these norms run on the tiny [(2h-1)(2w-1),
-            # pos_dim] coordinate tensor ~180x per forward — a Pallas
-            # launch each would be pure overhead and break XLA's fusion
-            # of the MLP chain (the Pallas LN only pays off at
-            # production-scale spatial maps; PARITY.md round 3).
-            x = PLayerNorm(dtype=self.dtype, impl="xla",
-                           name=f"pos{i}_norm")(x)
+            # These norms run on the tiny [(2h-1)(2w-1), pos_dim]
+            # coordinate tensor ~180x per forward; layernorm_spatial's
+            # sub-4k-row gate keeps them on the fusable jnp formula
+            # (a Pallas launch each would be pure dispatch overhead).
+            x = PLayerNorm(dtype=self.dtype, name=f"pos{i}_norm")(x)
             x = nn.relu(x)
             x = nn.Dense(feat, kernel_init=_TRUNC02, dtype=self.dtype,
                          name=f"pos{i}_fc")(x)

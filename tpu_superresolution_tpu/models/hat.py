@@ -289,8 +289,7 @@ class HAB(nn.Module):
                 # Spatial packed kernel: window-row blocks read straight
                 # from the (rolled) spatial array — no XLA partition /
                 # token pad / window pad / reverse around the block.
-                if scales is None:
-                    scales = jnp.ones((b, 2), jnp.float32)
+                # (branch_scales=None defaults to ones inside.)
                 out = _fb.fused_spatial_windows_block(
                     xs, *wargs, bias.astype(jnp.float32), ws,
                     mask, (c // nh) ** -0.5, self.gelu_approximate,

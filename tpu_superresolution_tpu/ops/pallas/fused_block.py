@@ -115,6 +115,52 @@ def _variant_kwargs(variant: str) -> dict:
     return kw
 
 
+_LOG2E = np.float32(1.4426950408889634)
+
+
+def _prep_variant_weights(wqkv, bqkv, wproj, bproj, nh, c, scale, bias,
+                          use_exp2, pairw, n):
+    """Variant-aware weight/bias prep shared by the strip, packed and
+    spatial forwards: exp2 pre-scaling of q/rpb (base-2 softmax), the
+    head-padded kernel weight layout with the MXU row-sum ones-column
+    planted at each head's first pad lane, and the block-diagonal rpb
+    pairing (-1e9 off-diagonal) for pairw > 1."""
+    sc_eff = scale * float(_LOG2E) if use_exp2 else scale
+    w, bq, wp, bp, hdp = _prep_weights(wqkv, bqkv, wproj, bproj, nh, sc_eff)
+    hd = c // nh
+    if hdp > hd:
+        koff = nh * hdp
+        ones_cols = [2 * koff + h * hdp + hd for h in range(nh)]
+        bq = bq.at[0, np.asarray(ones_cols)].set(1.0)
+    bias_eff = bias.astype(jnp.float32)
+    if use_exp2:
+        bias_eff = bias_eff * _LOG2E
+    if pairw > 1:
+        n2 = n * pairw
+        rpb = jnp.full((nh, n2, n2), -1e9, jnp.float32)
+        for i in range(pairw):
+            rpb = jax.lax.dynamic_update_slice(
+                rpb, bias_eff, (0, i * n, i * n)
+            )
+        bias_eff = rpb
+    return w, bq, wp, bp, hdp, bias_eff
+
+
+def _pair_mask_blockdiag(m, pairw, n, axis):
+    """Blockdiag `pairw` consecutive windows along `axis` of a numpy
+    mask (..., n, n) -> (..., n*pairw, n*pairw) with zero off-diagonal
+    blocks (the -1e9 cross-window entries ride the paired rpb)."""
+    if pairw == 1:
+        return m
+    m = np.moveaxis(m, axis, 0)
+    n2 = n * pairw
+    out = np.zeros((m.shape[0] // pairw,) + m.shape[1:-2] + (n2, n2),
+                   np.float32)
+    for i in range(pairw):
+        out[..., i * n : (i + 1) * n, i * n : (i + 1) * n] = m[i::pairw]
+    return np.moveaxis(out, 0, axis)
+
+
 def megakernel_tpu_ok(ws: int, w: int) -> bool:
     """Mosaic requires a block's last two dims to be (8, 128)-divisible
     or equal to the full array dims.  The megakernel's x block is
@@ -666,32 +712,9 @@ def _mega_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
         pairw = 1
     n2 = n * pairw
 
-    _LOG2E = np.float32(1.4426950408889634)
-    sc_eff = scale * float(_LOG2E) if use_exp2 else scale
-    w, bq, wp, bp, hdp = _prep_weights(wqkv, bqkv, wproj, bproj, nh, sc_eff)
-    hd = c // nh
-    if hdp > hd:
-        # Constant-1.0 column at each head's first v pad lane: since the
-        # corresponding wqkv column is all zeros, the qkv GEMM emits 1.0
-        # there, and A @ v_aug then carries softmax row sums out of the
-        # MXU (kernel normalizes by its reciprocal).  wproj's pad rows
-        # are zero so the extra lane never reaches the output.
-        koff = nh * hdp
-        ones_cols = [2 * koff + h * hdp + hd for h in range(nh)]
-        bq = bq.at[0, np.asarray(ones_cols)].set(1.0)
-
-    bias_eff = bias.astype(jnp.float32)
-    if use_exp2:
-        bias_eff = bias_eff * _LOG2E
-    if pairw > 1:
-        # Block-diagonal window pairing: rpb on the diagonal, -1e9 off
-        # (cross-window pair entries vanish under softmax)
-        rpb = jnp.full((nh, n2, n2), -1e9, jnp.float32)
-        for i in range(pairw):
-            rpb = jax.lax.dynamic_update_slice(rpb, bias_eff, (0, i * n, i * n))
-    else:
-        rpb = bias_eff
-
+    w, bq, wp, bp, hdp, rpb = _prep_variant_weights(
+        wqkv, bqkv, wproj, bproj, nh, c, scale, bias, use_exp2, pairw, n
+    )
     dtype = x.dtype
     cdt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
     row = lambda a: a.reshape(1, -1)
@@ -762,13 +785,8 @@ def _mega_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
         mask4 = np.asarray(mask, np.float32).reshape(nwh, nww, n, n)
         if use_exp2:
             mask4 = mask4 * float(_LOG2E)
-        if pairw > 1:
-            # paired: row r2 holds blockdiag(mask of window row
-            # pairw*r2 + i for i in range(pairw)) per column
-            m2 = np.zeros((nwh // pairw, nww, n2, n2), np.float32)
-            for i in range(pairw):
-                m2[:, :, i * n : (i + 1) * n, i * n : (i + 1) * n] = mask4[i::pairw]
-            mask4 = m2
+        # paired: row r2 holds blockdiag(mask of window row pairw*r2+i)
+        mask4 = _pair_mask_blockdiag(mask4, pairw, n, axis=0)
         in_specs.append(
             pl.BlockSpec(
                 (p // pairw, 1, n2, n2),
@@ -1118,25 +1136,9 @@ def _packed_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
     if group % pairw:
         pairw = 1
     n2 = n * pairw
-    _LOG2E = np.float32(1.4426950408889634)
-    sc_eff = scale * float(_LOG2E) if use_exp2 else scale
-    w, bq, wp, bp, hdp = _prep_weights(wqkv, bqkv, wproj, bproj, nh, sc_eff)
-    hd = c // nh
-    if hdp > hd:
-        koff = nh * hdp
-        ones_cols = [2 * koff + h * hdp + hd for h in range(nh)]
-        bq = bq.at[0, np.asarray(ones_cols)].set(1.0)
-
-    bias_eff = bias.astype(jnp.float32)
-    if use_exp2:
-        bias_eff = bias_eff * _LOG2E
-    if pairw > 1:
-        rpb = jnp.full((nh, n2, n2), -1e9, jnp.float32)
-        for i in range(pairw):
-            rpb = jax.lax.dynamic_update_slice(
-                rpb, bias_eff, (0, i * n, i * n)
-            )
-        bias_eff = rpb
+    w, bq, wp, bp, hdp, bias_eff = _prep_variant_weights(
+        wqkv, bqkv, wproj, bproj, nh, c, scale, bias, use_exp2, pairw, n
+    )
     dtype = x.dtype
     cdt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
     row = lambda a: a.reshape(1, -1)
@@ -1187,16 +1189,9 @@ def _packed_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
         m_np = np.asarray(mask, np.float32)
         if use_exp2:
             m_np = m_np * float(_LOG2E)
-        if pairw > 1:
-            # blockdiag(mask of windows pairw*j + i) — consecutive
-            # windows of the padded stream share one score block (the
-            # off-diagonal -1e9 rides the paired rpb table)
-            nwp = m_np.shape[0]
-            m2 = np.zeros((nwp // pairw, n2, n2), np.float32)
-            for i in range(pairw):
-                m2[:, i * n : (i + 1) * n, i * n : (i + 1) * n] = \
-                    m_np[i::pairw]
-            m_np = m2
+        # blockdiag(mask of windows pairw*j + i): consecutive windows
+        # of the padded stream share one score block
+        m_np = _pair_mask_blockdiag(m_np, pairw, n, axis=0)
         args.append(jnp.asarray(m_np))
     return pl.pallas_call(
         kernel,
@@ -1228,25 +1223,9 @@ def _spatial_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
     if nww % pairw:
         pairw = 1
     n2 = n * pairw
-    _LOG2E = np.float32(1.4426950408889634)
-    sc_eff = scale * float(_LOG2E) if use_exp2 else scale
-    w, bq, wp, bp, hdp = _prep_weights(wqkv, bqkv, wproj, bproj, nh, sc_eff)
-    hd = c // nh
-    if hdp > hd:
-        koff = nh * hdp
-        ones_cols = [2 * koff + h_ * hdp + hd for h_ in range(nh)]
-        bq = bq.at[0, np.asarray(ones_cols)].set(1.0)
-
-    bias_eff = bias.astype(jnp.float32)
-    if use_exp2:
-        bias_eff = bias_eff * _LOG2E
-    if pairw > 1:
-        rpb = jnp.full((nh, n2, n2), -1e9, jnp.float32)
-        for i in range(pairw):
-            rpb = jax.lax.dynamic_update_slice(
-                rpb, bias_eff, (0, i * n, i * n)
-            )
-        bias_eff = rpb
+    w, bq, wp, bp, hdp, bias_eff = _prep_variant_weights(
+        wqkv, bqkv, wproj, bproj, nh, c, scale, bias, use_exp2, pairw, n
+    )
     dtype = x.dtype
     cdt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
     row = lambda a: a.reshape(1, -1)
@@ -1310,12 +1289,7 @@ def _spatial_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
         m_np = np.asarray(mask, np.float32).reshape(nwh, nww, n, n)
         if use_exp2:
             m_np = m_np * float(_LOG2E)
-        if pairw > 1:
-            m2 = np.zeros((nwh, nww // pairw, n2, n2), np.float32)
-            for i in range(pairw):
-                m2[:, :, i * n : (i + 1) * n, i * n : (i + 1) * n] = \
-                    m_np[:, i::pairw]
-            m_np = m2
+        m_np = _pair_mask_blockdiag(m_np, pairw, n, axis=1)
         in_specs.append(
             pl.BlockSpec(
                 (1,) + m_np.shape[1:],
@@ -1580,9 +1554,7 @@ def fused_spatial_windows_block(
          wfc1, bfc1, wfc2, bfc2, bias) = weights
         group = PACKED_GROUP
         npad = (-n) % 8
-        wpad = (-nW) % group
-        while group > 1 and (nW + wpad) % group:
-            group //= 2
+        wpad = (-nW) % group  # pads nW + wpad to a group multiple
 
         def part(a):
             aw = window_partition(a, ws).reshape(b, nW, n, c)
@@ -1635,7 +1607,15 @@ def fused_spatial_windows_block(
             return op(*args), args
 
         def op_bwd(res, ct):
-            return bwd_packed(res[0], None, ct, res[1:14], res[14])
+            if KERNEL_BACKWARD and res[4] is not None:
+                return bwd_packed(res[0], None, ct, res[1:14], res[14])
+            _, vjp = jax.vjp(
+                lambda *a: _reference_spatial(
+                    *a, ws, mask, scale, gelu_approx
+                ),
+                *res,
+            )
+            return vjp(ct.astype(res[0].dtype))
 
         op.defvjp(op_fwd, op_bwd)
         return op(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
@@ -1655,7 +1635,15 @@ def fused_spatial_windows_block(
         return op_ex(*args), args
 
     def op_ex_bwd(res, ct):
-        return bwd_packed(res[0], res[15], ct, res[1:14], res[14])
+        if KERNEL_BACKWARD and res[4] is not None:
+            return bwd_packed(res[0], res[15], ct, res[1:14], res[14])
+        _, vjp = jax.vjp(
+            lambda *a: _reference_spatial(
+                *a[:15], ws, mask, scale, gelu_approx, extra=a[15]
+            ),
+            *res,
+        )
+        return vjp(ct.astype(res[0].dtype))
 
     op_ex.defvjp(op_ex_fwd, op_ex_bwd)
     return op_ex(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
