@@ -697,3 +697,39 @@ def test_hat_spatial_packed_toggle(rng):
     np.testing.assert_allclose(
         np.asarray(y_spatial), np.asarray(y_classic), atol=3e-5
     )
+
+
+def test_spatial_megakernel_vjp_fallback(rng):
+    """KERNEL_BACKWARD=False routes the spatial block's backward through
+    jax.vjp of the reference composition (debug/ablation fallback)."""
+    import tpu_superresolution_tpu.ops.pallas.fused_block as fb
+
+    b, h, w, c, nh, ws = 1, 6, 6, 6, 2, 3
+    n = ws * ws
+    r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)
+    x = r(b, h, w, c)
+    weights = [r(c), r(c), r(c, 3 * c), r(3 * c), r(c, c), r(c),
+               r(c), r(c), r(c, 2 * c), r(2 * c), r(2 * c, c), r(c)]
+    bias = r(nh, n, n)
+    scales = jnp.ones((b, 2), jnp.float32)
+    sc = (c // nh) ** -0.5
+
+    def loss(kernel_backward):
+        orig = fb.KERNEL_BACKWARD
+        fb.KERNEL_BACKWARD = kernel_backward
+        try:
+            def f(x):
+                out = fb.fused_spatial_windows_block(
+                    x, *weights, bias, ws, None, sc, False,
+                    branch_scales=scales,
+                )
+                return jnp.sum(out ** 2)
+            return jax.grad(f)(x)
+        finally:
+            fb.KERNEL_BACKWARD = orig
+
+    g_kernel = loss(True)
+    g_vjp = loss(False)
+    np.testing.assert_allclose(
+        np.asarray(g_kernel), np.asarray(g_vjp), atol=2e-4
+    )
