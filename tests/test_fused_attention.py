@@ -733,3 +733,29 @@ def test_spatial_megakernel_vjp_fallback(rng):
     np.testing.assert_allclose(
         np.asarray(g_kernel), np.asarray(g_vjp), atol=2e-4
     )
+
+
+def test_spatial_megakernel_branch_scales(rng):
+    """Per-sample drop-path scales reach the spatial kernel via SMEM and
+    match the reference (checks the (B, nwh)-grid sample indexing)."""
+    import tpu_superresolution_tpu.ops.pallas.fused_block as fb
+
+    b, h, w, c, nh, ws = 3, 6, 6, 6, 2, 3
+    n = ws * ws
+    r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)
+    x = r(b, h, w, c)
+    weights = [r(c), r(c), r(c, 3 * c), r(3 * c), r(c, c), r(c),
+               r(c), r(c), r(c, 2 * c), r(2 * c), r(2 * c, c), r(c)]
+    bias = r(nh, n, n)
+    extra = r(b, h, w, c)
+    scales = jnp.asarray([[0.0, 2.0], [2.0, 0.0], [1.0, 1.0]], jnp.float32)
+    sc = (c // nh) ** -0.5
+
+    out = fb.fused_spatial_windows_block(
+        x, *weights, bias, ws, None, sc, False,
+        extra=extra, branch_scales=scales,
+    )
+    ref = fb._reference_spatial(
+        x, *weights, bias, scales, ws, None, sc, False, extra=extra
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
