@@ -759,3 +759,75 @@ def test_spatial_megakernel_branch_scales(rng):
         x, *weights, bias, scales, ws, None, sc, False, extra=extra
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+class TestFusedCAB:
+    """ops/pallas/cab_conv.py: LN -> conv3x3 -> exact gelu -> conv3x3
+    fused with row-halo chunking."""
+
+    @pytest.mark.parametrize("h,w,rows", [(12, 12, 4), (13, 9, 4), (6, 8, 8)])
+    def test_matches_reference(self, rng, h, w, rows):
+        import tpu_superresolution_tpu.ops.pallas.cab_conv as cc
+
+        b, cin, cm = 2, 12, 4
+        r = lambda *s: jnp.asarray(
+            rng.standard_normal(s).astype(np.float32) * 0.2)
+        x = r(b, h, w, cin)
+        g, bb = r(cin) + 1.0, r(cin)
+        k1, c1 = r(3, 3, cin, cm), r(cm)
+        k2, c2 = r(3, 3, cm, cin), r(cin)
+        orig = cc.CHUNK_ROWS
+        try:
+            cc.CHUNK_ROWS = rows
+            out = cc.fused_ln_cab_convs(x, g, bb, k1, c1, k2, c2)
+        finally:
+            cc.CHUNK_ROWS = orig
+        ref = cc._reference(x, g, bb, k1, c1, k2, c2)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=3e-5
+        )
+
+    def test_grads_match_reference(self, rng):
+        import tpu_superresolution_tpu.ops.pallas.cab_conv as cc
+
+        b, h, w, cin, cm = 1, 8, 8, 6, 2
+        r = lambda *s: jnp.asarray(
+            rng.standard_normal(s).astype(np.float32) * 0.2)
+        args = (r(b, h, w, cin), r(cin) + 1.0, r(cin),
+                r(3, 3, cin, cm), r(cm), r(3, 3, cm, cin), r(cin))
+
+        gk = jax.grad(
+            lambda *a: jnp.sum(cc.fused_ln_cab_convs(*a) ** 2),
+            argnums=tuple(range(7)))(*args)
+        gr = jax.grad(
+            lambda *a: jnp.sum(cc._reference(*a) ** 2),
+            argnums=tuple(range(7)))(*args)
+        for a, b_ in zip(gk, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=2e-4
+            )
+
+    def test_hat_fused_cab_toggle(self, rng):
+        """Whole HAT with cab_conv.ENABLE on matches the unfused path
+        (same params; exercises HAB's pre-norm CAB call)."""
+        import tpu_superresolution_tpu.ops.pallas.cab_conv as cc
+        from tpu_superresolution_tpu.core.config import HATConfig, build_model
+
+        cfg = HATConfig(
+            scale=2, embed_dim=12, depths=(2,), num_heads=(3,),
+            window_size=4, num_feat=8, compress_ratio=3, squeeze_factor=4,
+            overlap_ratio=0.5, mlp_ratio=2.0, attention_impl="fused",
+        )
+        model = build_model(cfg)
+        x = jnp.asarray(rng.random((1, 16, 16, 3)), jnp.float32)
+        v = model.init(jax.random.key(0), x, train=False)
+        y_off = model.apply(v, x, train=False)
+        orig = cc.ENABLE
+        try:
+            cc.ENABLE = True
+            y_on = model.apply(v, x, train=False)
+        finally:
+            cc.ENABLE = orig
+        np.testing.assert_allclose(
+            np.asarray(y_on), np.asarray(y_off), atol=3e-5
+        )

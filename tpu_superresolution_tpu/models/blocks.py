@@ -99,6 +99,26 @@ CONV3X3_IMPL = "xla"
 CONV3X3_INPUT_IMPL = "xla"
 
 
+class Conv3x3Params(nn.Module):
+    """nn.Conv-compatible {kernel, bias} params, returned raw — for
+    fused kernels that consume the conv weights directly while the
+    checkpoint tree stays identical to nn.Conv / Conv3x3."""
+
+    features: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, in_features, self.features), self.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+        )
+        return kernel, bias
+
+
 class Conv3x3(nn.Module):
     """Drop-in for ``nn.Conv(features, (3, 3), SAME)`` — identical
     {kernel, bias} param tree — that computes the conv as nine shifted

@@ -92,14 +92,37 @@ class CAB(nn.Module):
     conv_impl: str = "gemm"  # "gemm" | "xla"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, ln_scale=None, ln_bias=None):
+        """When (ln_scale, ln_bias) are given, x is the PRE-norm input
+        and CAB applies HAB's norm1 itself — with cab_conv.ENABLE the
+        whole LN -> conv -> gelu -> conv chain runs as one Pallas
+        program (the SE gate stays in XLA: global mean, measured
+        free)."""
+        from tpu_superresolution_tpu.models.blocks import Conv3x3Params
+        from tpu_superresolution_tpu.ops.pallas import cab_conv
+
         c = x.shape[-1]
         cm = c // self.compress_ratio
-        y = Conv3x3(cm, dtype=self.dtype, impl=self.conv_impl,
-                    name="conv1")(x)
-        y = nn.gelu(y, approximate=False)
-        y = Conv3x3(c, dtype=self.dtype, impl=self.conv_impl,
-                    name="conv2")(y)
+        if ln_scale is not None and cab_conv.ENABLE:
+            k1, c1 = Conv3x3Params(cm, name="conv1")(c)
+            k2, c2 = Conv3x3Params(c, name="conv2")(cm)
+            y = cab_conv.fused_ln_cab_convs(
+                x.astype(self.dtype), ln_scale, ln_bias, k1, c1, k2, c2
+            )
+        else:
+            if ln_scale is not None:
+                from tpu_superresolution_tpu.ops.pallas.layernorm import (
+                    layernorm_spatial,
+                )
+
+                x = layernorm_spatial(
+                    x.astype(self.dtype), ln_scale, ln_bias
+                )
+            y = Conv3x3(cm, dtype=self.dtype, impl=self.conv_impl,
+                        name="conv1")(x)
+            y = nn.gelu(y, approximate=False)
+            y = Conv3x3(c, dtype=self.dtype, impl=self.conv_impl,
+                        name="conv2")(y)
         return ChannelAttention(self.squeeze_factor, self.dtype, name="ca")(y)
 
 
@@ -249,18 +272,14 @@ class HAB(nn.Module):
                 .transpose(2, 0, 1)
             )
             mask = shift_attn_mask(h, w, ws, shift) if shift > 0 else None
-            # CAB consumes LN1(x); same fp32-stats formula the kernel
-            # applies internally.
-            # XLA layernorm at this shape costs ~0.68 ms vs the Pallas
-            # kernel's ~0.05 (PARITY.md round 3) — and this LN only
-            # exists to feed CAB (the megakernel re-derives LN1 in VMEM)
-            from tpu_superresolution_tpu.ops.pallas.layernorm import (
-                layernorm_spatial,
-            )
-
-            ln1 = layernorm_spatial(x.astype(self.dtype), g1, b1)
+            # CAB consumes LN1(x) (same fp32-stats formula the kernel
+            # applies internally); passing the pre-norm x + (g1, b1)
+            # lets CAB apply the norm itself — via the Pallas LN feed,
+            # or fully fused with its convs when cab_conv.ENABLE (the
+            # megakernel re-derives LN1 in VMEM either way).
             conv_x = CAB(self.compress_ratio, self.squeeze_factor,
-                         self.dtype, name="conv_block")(ln1)
+                         self.dtype, name="conv_block")(
+                x, ln_scale=g1, ln_bias=b1)
             extra = conv_x * jnp.asarray(self.conv_scale, conv_x.dtype)
             scales = None
             if dp_active:

@@ -1,0 +1,180 @@
+"""Fused CAB front half: LayerNorm -> conv3x3 -> exact GELU -> conv3x3
+in ONE Pallas program.
+
+Why: HAT's CAB branch (reference hat_arch.py:62-75, consumed at :307)
+runs on the full spatial map between Pallas megakernel calls.  Even
+with the convs as 9-shifted GEMMs each op is a separate XLA stage that
+reads/writes the whole map through HBM — the two convs alone re-read
+the padded activation 9x each, and the LN feed is another full
+read+write.  This kernel streams the map ONCE: row chunks with a
+±2-row halo (conv->conv needs 2), LN/conv/gelu/conv all in VMEM,
+writing only the final conv2 output.  The SE gate (ChannelAttention)
+stays in XLA — it needs a global mean and measured free (PARITY.md
+round 3).
+
+Halo mechanics: three input refs alias the same array with clamped
+index maps (prev/cur/next row chunk); out-of-image halo rows are
+select-masked to zero, matching the reference's SAME zero padding
+applied to the LN output.  Block last-two dims are (W, C) = the full
+array dims, so any H/W tiles on Mosaic.
+
+Backward: jax.vjp over the jnp reference chain (cheap ops — XLA
+autodiff here is exactly the pre-fusion cost).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_superresolution_tpu.ops.pallas.fused_block import _gelu, _ln
+
+__all__ = ["fused_ln_cab_convs", "ENABLE"]
+
+# Routing switch for HAB's fused path (A/B on hardware before default).
+ENABLE = False
+
+# Rows per grid step.  VMEM per step ~ 3 x-chunks + fp32 temps; 32 rows
+# at 259x96 bf16 is ~10 MB peak.
+CHUNK_ROWS = 32
+
+
+def _kernel(xp_ref, xc_ref, xn_ref, g_ref, b_ref,
+            k1_ref, c1_ref, k2_ref, c2_ref, o_ref,
+            *, rows, h, w, cin, cmid, cout, cdt):
+    r = pl.program_id(1)
+    # rows [r*rows - 2, r*rows + rows + 2): 2-row halo each side
+    x = jnp.concatenate(
+        [xp_ref[0, rows - 2 :], xc_ref[0], xn_ref[0, :2]], axis=0
+    )  # [rows+4, W, Cin]
+    row0 = r * rows - 2
+    rid = row0 + jax.lax.broadcasted_iota(jnp.int32, (rows + 4, 1, 1), 0)
+    valid = jnp.logical_and(rid >= 0, rid < h)
+
+    xf = x.astype(jnp.float32).reshape(rows + 4, w * cin)
+    ln = _ln(
+        xf.reshape((rows + 4) * w, cin), g_ref[:], b_ref[:]
+    ).reshape(rows + 4, w, cin)
+    # Out-of-image halo rows become the reference's zero padding (select,
+    # not multiply — clamped-duplicate chunks may hold arbitrary bits).
+    ln = jnp.where(valid, ln, 0.0).astype(cdt)
+
+    def conv(y, k_ref, c_ref, n_in, n_out, rows_out):
+        # SAME 3x3 as 9 shifted GEMMs on the VMEM tile; y has one more
+        # halo row each side than the output needs.
+        rin = rows_out + 2
+        yp = jnp.pad(y, ((0, 0), (1, 1), (0, 0)))
+        acc = None
+        for dy in range(3):
+            for dx in range(3):
+                sl = yp[dy : dy + rows_out, dx : dx + w].reshape(
+                    rows_out * w, n_in
+                )
+                t = jax.lax.dot_general(
+                    sl, k_ref[dy, dx], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = t if acc is None else acc + t
+        del rin
+        return (acc + c_ref[:]).reshape(rows_out, w, n_out)
+
+    y1 = conv(ln, k1_ref, c1_ref, cin, cmid, rows + 2)
+    y1 = _gelu(y1, False).astype(cdt)
+    # conv2's SAME padding zeroes rows OUTSIDE the image of its input
+    # (gelu(conv1(...))): the halo rows at global -1 / h computed above
+    # are out-of-image positions and must be the pad value, not
+    # conv1-of-zero-padding values.
+    rid1 = row0 + 1 + jax.lax.broadcasted_iota(jnp.int32, (rows + 2, 1, 1), 0)
+    y1 = jnp.where(jnp.logical_and(rid1 >= 0, rid1 < h), y1, 0.0)
+    y2 = conv(y1, k2_ref, c2_ref, cmid, cout, rows)
+    o_ref[0] = y2.astype(o_ref.dtype)
+
+
+def _reference(x, g, b, k1, c1, k2, c2):
+    """jnp oracle / vjp: conv(gelu(conv(LN(x)))) with SAME zero pad on
+    the LN output (matches torch conv2d padding=1 after norm)."""
+    from tpu_superresolution_tpu.ops.conv_gemm import conv3x3_gemm
+
+    dt = x.dtype
+    bsz, h, w, c = x.shape
+    ln = _ln(
+        x.astype(jnp.float32).reshape(-1, c), g, b
+    ).reshape(bsz, h, w, c).astype(dt)
+    y = conv3x3_gemm(ln, k1, c1)
+    y = _gelu(y.astype(jnp.float32), False).astype(dt)
+    return conv3x3_gemm(y, k2, c2)
+
+
+def _forward(x, g, b, k1, c1, k2, c2, interpret):
+    bsz, h, w, cin = x.shape
+    cmid = k1.shape[-1]
+    cout = k2.shape[-1]
+    rows = min(CHUNK_ROWS, h)
+    nr = pl.cdiv(h, rows)
+    dtype = x.dtype
+    cdt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+
+    cur = lambda bb, r: (bb, r, 0, 0)
+    prv = lambda bb, r: (bb, jnp.maximum(r - 1, 0), 0, 0)
+    nxt = lambda bb, r: (bb, jnp.minimum(r + 1, nr - 1), 0, 0)
+    xblk = lambda m: pl.BlockSpec((1, rows, w, cin), m,
+                                  memory_space=pltpu.VMEM)
+    const = lambda *shape: (lambda bb, r: tuple([0] * len(shape)))
+    full = lambda a: pl.BlockSpec(a.shape, const(*a.shape),
+                                  memory_space=pltpu.VMEM)
+
+    row2 = lambda a: a.astype(jnp.float32).reshape(1, -1)
+    args = [
+        x, x, x,
+        row2(g), row2(b),
+        k1.astype(cdt), row2(c1),
+        k2.astype(cdt), row2(c2),
+    ]
+    kernel = functools.partial(
+        _kernel, rows=rows, h=h, w=w, cin=cin, cmid=cmid, cout=cout,
+        cdt=cdt,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz, nr),
+        in_specs=[
+            xblk(prv), xblk(cur), xblk(nxt),
+            full(args[3]), full(args[4]),
+            full(args[5]), full(args[6]),
+            full(args[7]), full(args[8]),
+        ],
+        out_specs=pl.BlockSpec((1, rows, w, cout), cur,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, w, cout), dtype),
+        interpret=interpret,
+    )(*args)
+
+
+def fused_ln_cab_convs(x, g, b, k1, c1, k2, c2, interpret=None):
+    """conv3x3(gelu_exact(conv3x3(LN(x)))) fused, NHWC.
+
+    x: [B, H, W, Cin]; g/b: LN scale/bias [Cin]; k1 [3,3,Cin,Cmid],
+    k2 [3,3,Cmid,Cout] with biases c1/c2 (the flax ``nn.Conv`` layout,
+    so CAB checkpoints are interchangeable).  Output feeds the SE gate.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    @jax.custom_vjp
+    def op(x, g, b, k1, c1, k2, c2):
+        return _forward(x, g, b, k1, c1, k2, c2, interpret)
+
+    def fwd(*a):
+        return op(*a), a
+
+    def bwd(res, ct):
+        _, vjp = jax.vjp(_reference, *res)
+        return vjp(ct.astype(res[0].dtype))
+
+    op.defvjp(fwd, bwd)
+    return op(x, g, b, k1, c1, k2, c2)
