@@ -310,3 +310,57 @@ class TestConvGemm:
                         jax.grad(loss_r, (0, 1))(x, k)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4, rtol=1e-4)
+
+
+class TestConvHalo:
+    """conv3x3_halo (ops/pallas/cab_conv.py): one-read Pallas conv with
+    row-halo chunking, interchangeable with conv3x3_gemm / the conv op."""
+
+    @pytest.mark.parametrize("h,w,rows", [(12, 11, 4), (13, 8, 4), (5, 8, 8)])
+    def test_matches_conv_op(self, h, w, rows):
+        import tpu_superresolution_tpu.ops.pallas.cab_conv as cc
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, h, w, 7)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 7, 5)) * 0.2, jnp.float32)
+        b = jnp.asarray(rng.standard_normal(5), jnp.float32)
+        orig = cc.CHUNK_ROWS
+        try:
+            cc.CHUNK_ROWS = rows
+            got = cc.conv3x3_halo(x, k, b)
+        finally:
+            cc.CHUNK_ROWS = orig
+        ref = jax.lax.conv_general_dilated(
+            x, k, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_grads(self):
+        import tpu_superresolution_tpu.ops.pallas.cab_conv as cc
+        from tpu_superresolution_tpu.ops.conv_gemm import conv3x3_gemm
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((1, 6, 6, 4)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 4, 3)) * 0.2, jnp.float32)
+        b = jnp.asarray(rng.standard_normal(3), jnp.float32)
+        gk = jax.grad(lambda *a: jnp.sum(cc.conv3x3_halo(*a) ** 2),
+                      argnums=(0, 1, 2))(x, k, b)
+        gr = jax.grad(lambda *a: jnp.sum(conv3x3_gemm(*a) ** 2),
+                      argnums=(0, 1, 2))(x, k, b)
+        for a, b_ in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=1e-4, rtol=1e-4)
+
+    def test_conv3x3_module_halo_impl(self):
+        from tpu_superresolution_tpu.models.blocks import Conv3x3
+
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((1, 9, 9, 6)), jnp.float32)
+        m_h = Conv3x3(5, impl="halo")
+        params = m_h.init(jax.random.PRNGKey(0), x)
+        y_h = m_h.apply(params, x)
+        y_x = Conv3x3(5, impl="xla").apply(params, x)
+        np.testing.assert_allclose(np.asarray(y_h), np.asarray(y_x),
+                                   atol=1e-5, rtol=1e-5)

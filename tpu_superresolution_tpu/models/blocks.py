@@ -154,6 +154,12 @@ class Conv3x3(nn.Module):
         x = x.astype(self.dtype)
         if impl == "gemm":
             return conv3x3_gemm(x, kernel, bias)
+        if impl == "halo":
+            from tpu_superresolution_tpu.ops.pallas.cab_conv import (
+                conv3x3_halo,
+            )
+
+            return conv3x3_halo(x, kernel, bias)
         y = jax.lax.conv_general_dilated(
             x, kernel.astype(self.dtype), (1, 1), ((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpu_superresolution_tpu.ops.pallas.fused_block import _gelu, _ln
 
-__all__ = ["fused_ln_cab_convs", "ENABLE"]
+__all__ = ["fused_ln_cab_convs", "conv3x3_halo", "ENABLE"]
 
 # Routing switch for HAB's fused path (A/B on hardware before default).
 ENABLE = False
@@ -153,6 +153,85 @@ def _forward(x, g, b, k1, c1, k2, c2, interpret):
         out_shape=jax.ShapeDtypeStruct((bsz, h, w, cout), dtype),
         interpret=interpret,
     )(*args)
+
+
+def _conv_kernel(xp_ref, xc_ref, xn_ref, k_ref, c_ref, o_ref,
+                 *, rows, h, w, cin, cout, cdt):
+    r = pl.program_id(1)
+    x = jnp.concatenate(
+        [xp_ref[0, rows - 1 :], xc_ref[0], xn_ref[0, :1]], axis=0
+    )  # [rows+2, W, Cin] — ±1-row halo
+    row0 = r * rows - 1
+    rid = row0 + jax.lax.broadcasted_iota(jnp.int32, (rows + 2, 1, 1), 0)
+    valid = jnp.logical_and(rid >= 0, rid < h)
+    x = jnp.where(valid, x, 0).astype(cdt)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)))
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            sl = xp[dy : dy + rows, dx : dx + w].reshape(rows * w, cin)
+            t = jax.lax.dot_general(
+                sl, k_ref[dy, dx], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = t if acc is None else acc + t
+    o_ref[0] = (acc + c_ref[:]).astype(o_ref.dtype).reshape(rows, w, cout)
+
+
+def conv3x3_halo(x, kernel, bias, interpret=None):
+    """SAME 3x3 conv as ONE Pallas program streaming row chunks with a
+    ±1-row halo — reads x once (the 9-shifted-GEMM form re-reads it 9x;
+    the XLA conv op at B=1 between Pallas calls is ~30-40x its roofline
+    in-model, PARITY.md round 3).  Same [3,3,Cin,Cout]+[Cout] layout as
+    ``nn.Conv``; differentiable via jax.vjp of the GEMM reference."""
+    from tpu_superresolution_tpu.ops.conv_gemm import conv3x3_gemm
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def forward(x, kernel, bias):
+        bsz, h, w, cin = x.shape
+        cout = kernel.shape[-1]
+        rows = min(CHUNK_ROWS, h)
+        nr = pl.cdiv(h, rows)
+        dtype = x.dtype
+        cdt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+        cur = lambda bb, r: (bb, r, 0, 0)
+        prv = lambda bb, r: (bb, jnp.maximum(r - 1, 0), 0, 0)
+        nxt = lambda bb, r: (bb, jnp.minimum(r + 1, nr - 1), 0, 0)
+        xblk = lambda m: pl.BlockSpec((1, rows, w, cin), m,
+                                      memory_space=pltpu.VMEM)
+        const = lambda *shape: (lambda bb, r: tuple([0] * len(shape)))
+        full = lambda a: pl.BlockSpec(a.shape, const(*a.shape),
+                                      memory_space=pltpu.VMEM)
+        kk = kernel.astype(cdt)
+        cc_ = bias.astype(jnp.float32).reshape(1, -1)
+        kfn = functools.partial(
+            _conv_kernel, rows=rows, h=h, w=w, cin=cin, cout=cout, cdt=cdt,
+        )
+        return pl.pallas_call(
+            kfn,
+            grid=(bsz, nr),
+            in_specs=[xblk(prv), xblk(cur), xblk(nxt), full(kk), full(cc_)],
+            out_specs=pl.BlockSpec((1, rows, w, cout), cur,
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bsz, h, w, cout), dtype),
+            interpret=interpret,
+        )(x, x, x, kk, cc_)
+
+    @jax.custom_vjp
+    def op(x, kernel, bias):
+        return forward(x, kernel, bias)
+
+    def fwd(*a):
+        return op(*a), a
+
+    def bwd(res, ct):
+        _, vjp = jax.vjp(conv3x3_gemm, *res)
+        return vjp(ct.astype(res[0].dtype))
+
+    op.defvjp(fwd, bwd)
+    return op(x, kernel, bias)
 
 
 def fused_ln_cab_convs(x, g, b, k1, c1, k2, c2, interpret=None):
