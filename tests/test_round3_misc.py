@@ -364,3 +364,49 @@ class TestConvHalo:
         y_x = Conv3x3(5, impl="xla").apply(params, x)
         np.testing.assert_allclose(np.asarray(y_h), np.asarray(y_x),
                                    atol=1e-5, rtol=1e-5)
+
+
+class TestDWConvHalo:
+    @pytest.mark.parametrize("h,w,rows", [(12, 9, 4), (5, 8, 8)])
+    def test_matches_conv_op(self, h, w, rows):
+        import tpu_superresolution_tpu.ops.pallas.cab_conv as cc
+
+        rng = np.random.default_rng(0)
+        c = 6
+        x = jnp.asarray(rng.standard_normal((2, h, w, c)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 1, c)) * 0.3, jnp.float32)
+        b = jnp.asarray(rng.standard_normal(c), jnp.float32)
+        orig = cc.CHUNK_ROWS
+        try:
+            cc.CHUNK_ROWS = rows
+            got = cc.dwconv3x3_halo(x, k, b)
+        finally:
+            cc.CHUNK_ROWS = orig
+        ref = jax.lax.conv_general_dilated(
+            x, k, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+        ) + b
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_module_impls_match_and_grads(self):
+        from tpu_superresolution_tpu.models.blocks import DWConv3x3
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((1, 9, 9, 6)), jnp.float32)
+        m_h = DWConv3x3(6, impl="halo")
+        params = m_h.init(jax.random.PRNGKey(0), x)
+        y_h = m_h.apply(params, x)
+        y_x = DWConv3x3(6, impl="xla").apply(params, x)
+        np.testing.assert_allclose(np.asarray(y_h), np.asarray(y_x),
+                                   atol=1e-5, rtol=1e-5)
+
+        def loss(m):
+            return lambda p: jnp.sum(m.apply(p, x) ** 2)
+
+        gh = jax.grad(loss(m_h))(params)
+        gx = jax.grad(loss(DWConv3x3(6, impl="xla")))(params)
+        for a, b in zip(jax.tree.leaves(gh), jax.tree.leaves(gx)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)

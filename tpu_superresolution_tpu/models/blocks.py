@@ -99,6 +99,49 @@ CONV3X3_IMPL = "xla"
 CONV3X3_INPUT_IMPL = "xla"
 
 
+# Depthwise-conv impl switch (same A/B pattern as CONV3X3_IMPL);
+# "xla" until the on-chip A/B proves the halo kernel for DAT.
+DWCONV3X3_IMPL = "xla"
+
+
+class DWConv3x3(nn.Module):
+    """Drop-in for ``nn.Conv(C, (3,3), SAME, feature_group_count=C)``
+    (identical {kernel [3,3,1,C], bias} param tree) with a selectable
+    one-read Pallas implementation (ops/pallas/cab_conv.dwconv3x3_halo)
+    — DAT runs a depthwise conv per SGFN and per spatial-attention
+    conv branch at B=1 between other ops, the same in-model conv-op
+    pathology measured for HAT (PARITY.md round 3)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    impl: Optional[str] = None  # None -> module global DWCONV3X3_IMPL
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, 1, self.features), self.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+        )
+        impl = DWCONV3X3_IMPL if self.impl is None else self.impl
+        x = x.astype(self.dtype)
+        if impl == "halo":
+            from tpu_superresolution_tpu.ops.pallas.cab_conv import (
+                dwconv3x3_halo,
+            )
+
+            return dwconv3x3_halo(x, kernel, bias)
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(self.dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.features,
+        )
+        return y + bias.astype(self.dtype)
+
+
 class Conv3x3Params(nn.Module):
     """nn.Conv-compatible {kernel, bias} params, returned raw — for
     fused kernels that consume the conv weights directly while the

@@ -36,6 +36,7 @@ import numpy as np
 from tpu_superresolution_tpu.core.config import DATConfig, register_model
 from tpu_superresolution_tpu.models.blocks import (
     Conv3x3,
+    DWConv3x3,
     PixelShuffleDirect,
     PixelShuffleUpsample,
     PLayerNorm,
@@ -166,8 +167,7 @@ class _DWConvBranch(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = x.shape[-1]
-        x = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=c,
-                    dtype=self.dtype, name="conv")(x)
+        x = DWConv3x3(c, dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn")(x)
         return nn.gelu(x, approximate=False)
@@ -346,8 +346,7 @@ class SGFN(nn.Module):
         half = self.hidden // 2
         x1, x2 = x[..., :half], x[..., half:]
         x2 = PLayerNorm(dtype=self.dtype, name="sg_norm")(x2)
-        x2 = nn.Conv(half, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=half,
-                     dtype=self.dtype, name="sg_conv")(x2)
+        x2 = DWConv3x3(half, dtype=self.dtype, name="sg_conv")(x2)
         x = x1 * x2
         return nn.Dense(self.out_features, kernel_init=_TRUNC02, dtype=self.dtype,
                         name="fc2")(x)

@@ -234,6 +234,85 @@ def conv3x3_halo(x, kernel, bias, interpret=None):
     return op(x, kernel, bias)
 
 
+def _dwconv_kernel(xp_ref, xc_ref, xn_ref, k_ref, c_ref, o_ref,
+                   *, rows, h, w, c):
+    r = pl.program_id(1)
+    x = jnp.concatenate(
+        [xp_ref[0, rows - 1 :], xc_ref[0], xn_ref[0, :1]], axis=0
+    ).astype(jnp.float32)
+    row0 = r * rows - 1
+    rid = row0 + jax.lax.broadcasted_iota(jnp.int32, (rows + 2, 1, 1), 0)
+    x = jnp.where(jnp.logical_and(rid >= 0, rid < h), x, 0.0)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)))
+    acc = c_ref[0]  # [C] broadcast
+    for dy in range(3):
+        for dx in range(3):
+            acc = acc + xp[dy : dy + rows, dx : dx + w] * k_ref[dy, dx]
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def dwconv3x3_halo(x, kernel, bias, interpret=None):
+    """Depthwise SAME 3x3 conv (feature_group_count=C) as one Pallas
+    program: 9 shifted VPU multiply-adds on row-halo chunks — no MXU,
+    one activation read.  kernel: [3, 3, 1, C] (the flax nn.Conv
+    depthwise layout) or [3, 3, C]."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if kernel.ndim == 4:
+        kernel = kernel.reshape(3, 3, -1)
+
+    def reference(x, kernel, bias):
+        xp4 = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        acc = None
+        for dy in range(3):
+            for dx in range(3):
+                t = (xp4[:, dy : dy + x.shape[1], dx : dx + x.shape[2]]
+                     .astype(jnp.float32) * kernel[dy, dx])
+                acc = t if acc is None else acc + t
+        return (acc + bias).astype(x.dtype)
+
+    def forward(x, kernel, bias):
+        bsz, h, w, c = x.shape
+        rows = min(CHUNK_ROWS, h)
+        nr = pl.cdiv(h, rows)
+        cur = lambda bb, r: (bb, r, 0, 0)
+        prv = lambda bb, r: (bb, jnp.maximum(r - 1, 0), 0, 0)
+        nxt = lambda bb, r: (bb, jnp.minimum(r + 1, nr - 1), 0, 0)
+        xblk = lambda m: pl.BlockSpec((1, rows, w, c), m,
+                                      memory_space=pltpu.VMEM)
+        const = lambda *shape: (lambda bb, r: tuple([0] * len(shape)))
+        full = lambda a: pl.BlockSpec(a.shape, const(*a.shape),
+                                      memory_space=pltpu.VMEM)
+        kk = kernel.astype(jnp.float32)
+        cc_ = bias.astype(jnp.float32).reshape(1, -1)
+        kfn = functools.partial(
+            _dwconv_kernel, rows=rows, h=h, w=w, c=c,
+        )
+        return pl.pallas_call(
+            kfn,
+            grid=(bsz, nr),
+            in_specs=[xblk(prv), xblk(cur), xblk(nxt), full(kk), full(cc_)],
+            out_specs=pl.BlockSpec((1, rows, w, c), cur,
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bsz, h, w, c), x.dtype),
+            interpret=interpret,
+        )(x, x, x, kk, cc_)
+
+    @jax.custom_vjp
+    def op(x, kernel, bias):
+        return forward(x, kernel, bias)
+
+    def fwd(*a):
+        return op(*a), a
+
+    def bwd(res, ct):
+        _, vjp = jax.vjp(reference, *res)
+        return vjp(ct.astype(res[0].dtype))
+
+    op.defvjp(fwd, bwd)
+    return op(x, kernel, bias)
+
+
 def fused_ln_cab_convs(x, g, b, k1, c1, k2, c2, interpret=None):
     """conv3x3(gelu_exact(conv3x3(LN(x)))) fused, NHWC.
 
