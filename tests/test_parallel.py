@@ -153,3 +153,39 @@ def test_dp_ragged_batch_weighted_equals_unpadded(setup):
     assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-6
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_dp_hat_spatial_cab_flags():
+    """HAT under shard_map DP with the spatial packed kernel and the
+    fused CAB kernel enabled: the Pallas calls must trace and the
+    dp-mean grads must stay finite (tiny config, native_lr x2)."""
+    import tpu_superresolution_tpu.ops.pallas.cab_conv as cc
+    import tpu_superresolution_tpu.ops.pallas.fused_block as fb
+    from tpu_superresolution_tpu.core.config import HATConfig
+
+    cfg = HATConfig(
+        scale=2, embed_dim=12, depths=(2,), num_heads=(3,),
+        window_size=4, num_feat=8, compress_ratio=3, squeeze_factor=4,
+        overlap_ratio=0.5, mlp_ratio=2.0, attention_impl="fused",
+    )
+    model = build_model(cfg)
+    rng = np.random.default_rng(0)
+    lr = jnp.asarray(rng.random((8, 8, 8, 3), dtype=np.float32))
+    hr = jnp.asarray(rng.random((8, 16, 16, 3), dtype=np.float32))
+    variables = model.init(jax.random.key(0), lr[:1], train=False)
+    tcfg = TrainConfig(epochs=1, lr=1e-3, scheduler="none")
+    mesh = make_mesh(8)
+    orig_sp, orig_cab = fb.SPATIAL_PACKED, cc.ENABLE
+    try:
+        fb.SPATIAL_PACKED = True
+        cc.ENABLE = True
+        dp_step = make_dp_train_step(
+            model, "mse", "native_lr", 2, None, False, mesh
+        )
+        state = _fresh_state(model, variables, tcfg)
+        lr_s, hr_s, w_s = shard_batch((lr, hr, jnp.ones(8)), mesh)
+        state, metrics = dp_step(state, lr_s, hr_s, jax.random.key(1), w_s)
+        assert np.isfinite(float(metrics["loss"]))
+    finally:
+        fb.SPATIAL_PACKED = orig_sp
+        cc.ENABLE = orig_cab

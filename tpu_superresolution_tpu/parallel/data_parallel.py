@@ -103,6 +103,10 @@ def make_dp_train_step(
             P(axis_name),
         ),
         out_specs=(state_spec, state_spec),
+        # Pallas kernels inside the shard (megakernels, halo convs)
+        # cannot declare vma on their out_shapes; the step's semantics
+        # are a plain batch split + explicit psums, so skip the check.
+        check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(0,))
 
@@ -149,5 +153,6 @@ def make_dp_eval_step(
         mesh=mesh,
         in_specs=(P(), P(axis_name), P(axis_name)),
         out_specs=P(),
+        check_vma=False,  # see make_dp_train_step
     )
     return jax.jit(mapped)
