@@ -410,3 +410,61 @@ class TestDWConvHalo:
         for a, b in zip(jax.tree.leaves(gh), jax.tree.leaves(gx)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4, rtol=1e-4)
+
+
+class TestConvHaloGeneral:
+    """conv_halo: arbitrary kernel sizes + asymmetric SAME padding (the
+    composed reconstruction conv's geometry)."""
+
+    @pytest.mark.parametrize("kh,kw,pad", [
+        (5, 5, ((2, 2), (2, 2))),
+        (5, 5, ((3, 1), (1, 3))),
+        (3, 5, ((0, 2), (2, 2))),
+    ])
+    def test_matches_conv_op(self, kh, kw, pad):
+        import tpu_superresolution_tpu.ops.pallas.cab_conv as cc
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, 13, 10, 6)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((kh, kw, 6, 4)) * 0.2,
+                        jnp.float32)
+        b = jnp.asarray(rng.standard_normal(4), jnp.float32)
+        orig = cc.CHUNK_ROWS
+        try:
+            cc.CHUNK_ROWS = 4
+            got = cc.conv_halo(x, k, b, pad)
+        finally:
+            cc.CHUNK_ROWS = orig
+        ref = jax.lax.conv_general_dilated(
+            x, k, (1, 1), pad, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_fused_reconstruct_halo_impl(self):
+        """fused_pixelshuffle_reconstruct with CONV_IMPL='halo' matches
+        the conv-op path bit-for-bit in fp32."""
+        import tpu_superresolution_tpu.ops.fused_upsample as fu
+
+        rng = np.random.default_rng(1)
+        c, nf = 8, 8
+        y = jnp.asarray(rng.standard_normal((1, 12, 12, c)), jnp.float32)
+        stages = [
+            (jnp.asarray(rng.standard_normal((3, 3, c, 4 * nf)) * 0.2,
+                         jnp.float32),
+             jnp.asarray(rng.standard_normal(4 * nf) * 0.1, jnp.float32), 2),
+        ]
+        last = (jnp.asarray(rng.standard_normal((3, 3, nf, 3)) * 0.2,
+                            jnp.float32),
+                jnp.asarray(rng.standard_normal(3) * 0.1, jnp.float32))
+        ref = fu.fused_pixelshuffle_reconstruct(y, stages, last,
+                                                dtype=jnp.float32)
+        orig = fu.CONV_IMPL
+        try:
+            fu.CONV_IMPL = "halo"
+            got = fu.fused_pixelshuffle_reconstruct(y, stages, last,
+                                                    dtype=jnp.float32)
+        finally:
+            fu.CONV_IMPL = orig
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)

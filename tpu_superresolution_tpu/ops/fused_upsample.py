@@ -185,6 +185,12 @@ def composed_upsample_params(stages, last):
     return K, B, pad, r
 
 
+# Impl switch for the composed conv ("xla" conv op | "halo" one-read
+# Pallas kernel) — the ~5x5 composed kernel at B=1 between other ops is
+# a candidate for the same in-model conv pathology (PARITY.md round 3).
+CONV_IMPL = "xla"
+
+
 def fused_pixelshuffle_reconstruct(y, stages, last, dtype=jnp.bfloat16):
     """Apply the composed reconstruction: one conv + one pixel_shuffle.
 
@@ -195,14 +201,19 @@ def fused_pixelshuffle_reconstruct(y, stages, last, dtype=jnp.bfloat16):
     from tpu_superresolution_tpu.ops.pixelshuffle import pixel_shuffle
 
     K, B, pad, r = composed_upsample_params(stages, last)
-    v = jax.lax.conv_general_dilated(
-        y.astype(dtype),
-        K.astype(dtype),
-        window_strides=(1, 1),
-        padding=pad,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    v = v + B.astype(v.dtype)
+    if CONV_IMPL == "halo":
+        from tpu_superresolution_tpu.ops.pallas.cab_conv import conv_halo
+
+        v = conv_halo(y.astype(dtype), K, B, pad)
+    else:
+        v = jax.lax.conv_general_dilated(
+            y.astype(dtype),
+            K.astype(dtype),
+            window_strides=(1, 1),
+            padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        v = v + B.astype(v.dtype)
     return pixel_shuffle(v, r)
 
 

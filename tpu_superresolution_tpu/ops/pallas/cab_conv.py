@@ -234,6 +234,107 @@ def conv3x3_halo(x, kernel, bias, interpret=None):
     return op(x, kernel, bias)
 
 
+def _convk_kernel(xp_ref, xc_ref, xn_ref, k_ref, c_ref, o_ref,
+                  *, rows, h, w, cin, cout, cdt, kh, kw, plo, phi,
+                  plo_w, phi_w):
+    r = pl.program_id(1)
+    parts = []
+    if plo:
+        parts.append(xp_ref[0, rows - plo :])
+    parts.append(xc_ref[0])
+    if phi:
+        parts.append(xn_ref[0, :phi])
+    x = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    row0 = r * rows - plo
+    rid = row0 + jax.lax.broadcasted_iota(
+        jnp.int32, (rows + plo + phi, 1, 1), 0
+    )
+    x = jnp.where(jnp.logical_and(rid >= 0, rid < h), x, 0).astype(cdt)
+    xp = jnp.pad(x, ((0, 0), (plo_w, phi_w), (0, 0)))
+    acc = None
+    for dy in range(kh):
+        for dx in range(kw):
+            sl = xp[dy : dy + rows, dx : dx + w].reshape(rows * w, cin)
+            t = jax.lax.dot_general(
+                sl, k_ref[dy, dx], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = t if acc is None else acc + t
+    o_ref[0] = (acc + c_ref[:]).astype(o_ref.dtype).reshape(rows, w, cout)
+
+
+def conv_halo(x, kernel, bias, pad, interpret=None):
+    """General small-kernel conv as one Pallas program with row-halo
+    chunking (the conv3x3_halo pattern for arbitrary [kh, kw] kernels
+    and asymmetric SAME padding) — used for the composed reconstruction
+    conv (ops/fused_upsample.py), whose ~5x5 kernel at B=1 pays the
+    same in-model conv-op pathology.
+
+    pad: ((plo_h, phi_h), (plo_w, phi_w)) with plo+phi == k-1 per dim
+    (output H, W == input H, W).  Differentiable via jax.vjp of the
+    XLA conv (backward runs pre-fusion cost)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    kh, kw = int(kernel.shape[0]), int(kernel.shape[1])
+    (plo, phi), (plo_w, phi_w) = pad
+    assert plo + phi == kh - 1 and plo_w + phi_w == kw - 1, (pad, kh, kw)
+
+    def reference(x, kernel, bias):
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype), (1, 1), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(y.dtype)
+
+    def forward(x, kernel, bias):
+        bsz, h, w, cin = x.shape
+        cout = kernel.shape[-1]
+        rows = min(CHUNK_ROWS, h)
+        if rows < max(plo, phi):
+            return reference(x, kernel, bias)  # degenerate tiny input
+        nr = pl.cdiv(h, rows)
+        dtype = x.dtype
+        cdt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+        cur = lambda bb, r: (bb, r, 0, 0)
+        prv = lambda bb, r: (bb, jnp.maximum(r - 1, 0), 0, 0)
+        nxt = lambda bb, r: (bb, jnp.minimum(r + 1, nr - 1), 0, 0)
+        xblk = lambda m: pl.BlockSpec((1, rows, w, cin), m,
+                                      memory_space=pltpu.VMEM)
+        const = lambda *shape: (lambda bb, r: tuple([0] * len(shape)))
+        full = lambda a: pl.BlockSpec(a.shape, const(*a.shape),
+                                      memory_space=pltpu.VMEM)
+        kk = kernel.astype(cdt)
+        cc_ = bias.astype(jnp.float32).reshape(1, -1)
+        kfn = functools.partial(
+            _convk_kernel, rows=rows, h=h, w=w, cin=cin, cout=cout,
+            cdt=cdt, kh=kh, kw=kw, plo=plo, phi=phi,
+            plo_w=plo_w, phi_w=phi_w,
+        )
+        return pl.pallas_call(
+            kfn,
+            grid=(bsz, nr),
+            in_specs=[xblk(prv), xblk(cur), xblk(nxt), full(kk), full(cc_)],
+            out_specs=pl.BlockSpec((1, rows, w, cout), cur,
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bsz, h, w, cout), dtype),
+            interpret=interpret,
+        )(x, x, x, kk, cc_)
+
+    @jax.custom_vjp
+    def op(x, kernel, bias):
+        return forward(x, kernel, bias)
+
+    def fwd(*a):
+        return op(*a), a
+
+    def bwd(res, ct):
+        _, vjp = jax.vjp(reference, *res)
+        return vjp(ct.astype(res[0].dtype))
+
+    op.defvjp(fwd, bwd)
+    return op(x, kernel, bias)
+
+
 def _dwconv_kernel(xp_ref, xc_ref, xn_ref, k_ref, c_ref, o_ref,
                    *, rows, h, w, c):
     r = pl.program_id(1)
