@@ -5,6 +5,7 @@ import jax, jax.numpy as jnp, numpy as np
 print("backend:", jax.default_backend(), flush=True)
 
 import tpu_superresolution_tpu.models.blocks as blocks
+import tpu_superresolution_tpu.ops.fused_upsample as fu
 from tpu_superresolution_tpu.core.config import SwinIRConfig, DATConfig, build_model
 
 rng = np.random.default_rng(0)
@@ -18,11 +19,12 @@ for mname, cfg in (("swinir", SwinIRConfig(scale=4)),
     v = model.init(jax.random.key(0), x[:, :64, :64], train=False)
     xin = xt if mname == "swinir_b25t64" else x
     fns, outs = {}, {}
-    tags = (("gemm", "xla", "halo", "gemm+first")
+    tags = (("gemm", "xla", "halo", "gemm+first", "halo+up")
             if mname == "swinir" else ("gemm", "xla", "halo"))
     for tag in tags:
-        blocks.CONV3X3_IMPL = "gemm" if tag == "gemm+first" else tag
+        blocks.CONV3X3_IMPL = {"gemm+first": "gemm", "halo+up": "halo"}.get(tag, tag)
         blocks.CONV3X3_INPUT_IMPL = "gemm" if tag == "gemm+first" else "xla"
+        fu.CONV_IMPL = "halo" if tag == "halo+up" else "xla"
         fn = jax.jit(lambda b, model=model, v=v: model.apply(v, b, train=False))
         t0 = time.time(); o = jax.block_until_ready(fn(xin))
         print(f"[compile] {mname}/{tag}: {time.time()-t0:.0f}s", flush=True)
