@@ -198,3 +198,91 @@ def test_evaluate_cli_uses_trained_semantics_for_framework_ckpts(
     ev.main(common + ["--exact"])
     assert seen[-1].fused_reconstruct is False
     assert seen[-1].gelu_approximate is False
+
+
+def test_upscale_cli_single_image(dataset, tmp_path, capsys):
+    """Single-image upscale CLI: framework ckpt, whole-image and tiled
+    paths, multi-image output dir, and the torch .pt path."""
+    from PIL import Image
+
+    from tpu_superresolution_tpu.cli.train import main as train_main
+    from tpu_superresolution_tpu.cli.upscale import main as upscale_main
+
+    train_main([
+        "--data_root", str(dataset), "--scale", "X2",
+        "--model", "unet2d", "--base_channels", "4", "--depth", "1",
+        "--epochs", "1", "--batch_size", "4", "--patch_size", "32",
+        "--workdir", str(tmp_path),
+    ])
+    capsys.readouterr()
+    ckpt = str(tmp_path / "best_X2")
+
+    rng = np.random.default_rng(3)
+    img = tmp_path / "in.png"
+    Image.fromarray(
+        (rng.random((20, 24, 3)) * 255).astype(np.uint8)
+    ).save(img)
+
+    # whole-image (auto: short edge <= threshold)
+    outs = upscale_main(["--ckpt", ckpt, "--image", str(img)])
+    out = capsys.readouterr().out
+    assert "whole image" in out
+    assert outs == [str(tmp_path / "in_sr2x.png")]
+    with Image.open(outs[0]) as sr:
+        assert sr.size == (48, 40)  # PIL size is (W, H)
+
+    # explicit tiling + explicit output file
+    outs = upscale_main([
+        "--ckpt", ckpt, "--image", str(img),
+        "--out", str(tmp_path / "tiled.png"),
+        "--tile", "16", "--tile_overlap", "4", "--tile_batch", "2",
+    ])
+    out = capsys.readouterr().out
+    assert "tile 16/4" in out
+    with Image.open(outs[0]) as sr:
+        assert sr.size == (48, 40)
+
+    # multiple images -> --out directory
+    img2 = tmp_path / "in2.png"
+    Image.fromarray(
+        (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+    ).save(img2)
+    outs = upscale_main([
+        "--ckpt", ckpt, "--image", str(img), str(img2),
+        "--out", str(tmp_path / "outdir"),
+    ])
+    assert sorted(str(o) for o in outs) == sorted([
+        str(tmp_path / "outdir" / "in_sr2x.png"),
+        str(tmp_path / "outdir" / "in2_sr2x.png"),
+    ])
+    capsys.readouterr()
+
+
+def test_upscale_cli_torch_checkpoint(dataset, tmp_path, capsys):
+    """Torch .pt upscale requires --scale and converts in place."""
+    import torch
+    from PIL import Image
+
+    from tests.util_torchref import import_reference
+    from tpu_superresolution_tpu.cli.upscale import main as upscale_main
+
+    ref = import_reference("ms_resunet")
+    tmodel = ref.MS_ResUNet()
+    tmodel.eval()
+    pt = tmp_path / "best_X2.pt"
+    torch.save({"model_state_dict": tmodel.state_dict()}, pt)
+
+    img = tmp_path / "g.png"
+    rng = np.random.default_rng(5)
+    Image.fromarray((rng.random((12, 12)) * 255).astype(np.uint8)).save(img)
+
+    with pytest.raises(SystemExit, match="--scale is required"):
+        upscale_main(["--ckpt", str(pt), "--image", str(img)])
+
+    outs = upscale_main([
+        "--ckpt", str(pt), "--image", str(img),
+        "--model", "ms_resunet", "--scale", "X2",
+    ])
+    capsys.readouterr()
+    with Image.open(outs[0]) as sr:
+        assert sr.size == (24, 24)

@@ -1,0 +1,143 @@
+"""Single-image super-resolution CLI — upscale arbitrary PNG/JPG files
+with a framework (Orbax) checkpoint or a reference torch ``.pt/.pth``:
+
+    python -m tpu_superresolution_tpu.cli.upscale \\
+        --ckpt runs/bestpsnr_X4 --image photo.png
+
+The reference exposes inference only through the dataset evaluate
+harness (``/root/reference/modules/evaluate.py:54-234`` iterates a
+DeepRockSR directory tree); this is the missing user-facing entry
+point: decode -> (optionally tiled) model forward -> PNG.  Large
+images tile automatically with the measured production setting
+(tile 192 / overlap 16 / tile_batch 8 — PARITY.md round 3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+# Auto-tiling threshold: whole-image forward below this edge length
+# (attention sees full context — best quality); tiled above it to
+# bound compile time and HBM.
+AUTO_TILE_MIN_EDGE = 256
+AUTO_TILE = 192
+AUTO_OVERLAP = 16
+AUTO_TILE_BATCH = 8
+
+
+def build_argparser():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--image", type=str, nargs="+", required=True,
+                    help="input image file(s)")
+    ap.add_argument("--ckpt", type=str, required=True,
+                    help="Orbax checkpoint dir (train CLI output) or a "
+                         "reference torch .pt/.pth")
+    ap.add_argument("--model", type=str, default="ms_resunet",
+                    choices=["ms_resunet", "swinir", "hat", "dat"],
+                    help="architecture for torch .pt/.pth checkpoints "
+                         "(Orbax checkpoints carry their config)")
+    ap.add_argument("--scale", type=str, choices=["X2", "X4"], default=None,
+                    help="required for torch checkpoints; Orbax "
+                         "checkpoints carry their scale")
+    ap.add_argument("--out", type=str, default=None,
+                    help="output file (single input) or directory "
+                         "(default: next to each input as "
+                         "<stem>_srNx.png)")
+    ap.add_argument("--tile", type=int, default=-1,
+                    help="-1 = auto (whole image if its short edge is "
+                         f"<= {AUTO_TILE_MIN_EDGE}px, else tile "
+                         f"{AUTO_TILE}/{AUTO_OVERLAP}); 0 = force whole "
+                         "image; N = tile size")
+    ap.add_argument("--tile_overlap", type=int, default=AUTO_OVERLAP)
+    ap.add_argument("--tile_batch", type=int, default=AUTO_TILE_BATCH,
+                    help="max tiles per model call (0 = all in one batch)")
+    ap.add_argument("--exact", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="reference-exact semantics (see evaluate CLI); "
+                         "default ON for torch checkpoints, "
+                         "as-trained for framework checkpoints")
+    ap.add_argument("--rescale_png", action="store_true",
+                    help="min-max rescale the output instead of clamping")
+    return ap
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+
+    from tpu_superresolution_tpu.cli.common import report_devices
+    from tpu_superresolution_tpu.cli.evaluate import load_any_checkpoint
+    from tpu_superresolution_tpu.core.config import EvalConfig
+    from tpu_superresolution_tpu.data.decode import decode_image
+    from tpu_superresolution_tpu.evaluate.runner import (
+        Evaluator,
+        save_tensor_as_png,
+    )
+
+    report_devices()
+    if args.ckpt.endswith((".pt", ".pth")) and args.scale is None:
+        raise SystemExit("--scale is required for torch .pt/.pth checkpoints")
+    scale_int = int(args.scale[1:]) if args.scale else 0
+    mcfg, model, variables = load_any_checkpoint(
+        args.ckpt, args.model, scale_int, exact=args.exact
+    )
+    scale = mcfg.scale
+    if not scale:
+        raise SystemExit(
+            "checkpoint carries no model config — pass --scale"
+        )
+    if args.scale and scale != scale_int:
+        raise SystemExit(
+            f"checkpoint is X{scale} but --scale {args.scale} was given"
+        )
+    convention = "native_lr" if mcfg.upsamples_internally else "pre_upscale"
+    channels = mcfg.in_channels
+    print(f"[ckpt] {args.ckpt}: model={mcfg.name} scale=X{scale}")
+
+    outs = []
+    multi = len(args.image) > 1
+    out_dir = None
+    if args.out is not None and (multi or Path(args.out).is_dir()):
+        out_dir = Path(args.out)
+        out_dir.mkdir(parents=True, exist_ok=True)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    for path in args.image:
+        p = Path(path)
+        img = decode_image(p, grayscale=channels == 1, channels=channels)
+        h, w = img.shape[:2]
+        tile = args.tile
+        if tile < 0:
+            tile = AUTO_TILE if min(h, w) > AUTO_TILE_MIN_EDGE else 0
+        ecfg = EvalConfig(
+            batch_size=1,
+            tile_size=tile or None,
+            tile_overlap=args.tile_overlap,
+            max_tile_batch=args.tile_batch or None,
+        )
+        fwd = Evaluator(model, variables, scale, convention, ecfg).forward_fn()
+        t0 = time.time()
+        sr = fwd(jnp.asarray(img)[None])[0]
+        sr.block_until_ready()
+        dt = time.time() - t0
+        if out_dir is not None:
+            out_path = out_dir / f"{p.stem}_sr{scale}x.png"
+        elif args.out is not None:
+            out_path = Path(args.out)
+        else:
+            out_path = p.with_name(f"{p.stem}_sr{scale}x.png")
+        save_tensor_as_png(
+            np.asarray(sr), out_path, per_image_rescale=args.rescale_png
+        )
+        mode = f"tile {tile}/{args.tile_overlap}" if tile else "whole image"
+        print(f"[sr] {p} [{h}x{w}] -> {out_path} "
+              f"[{h * scale}x{w * scale}] ({mode}, {dt:.1f}s incl. compile)")
+        outs.append(str(out_path))
+    return outs
+
+
+if __name__ == "__main__":
+    main()

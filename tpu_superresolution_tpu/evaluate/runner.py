@@ -66,7 +66,11 @@ class Evaluator:
     log: Callable[[str], None] = print
     mesh: object = None  # jax Mesh: shard the tile batch across chips
 
-    def _forward_fn(self):
+    def forward_fn(self):
+        """The jitted [B,H,W,C]->[B,H*s,W*s,C] forward (pre-upscale /
+        tiling / sharding per the eval config) — the reusable
+        inference entry point (cli/upscale.py rides it for single
+        images)."""
         ecfg = self.eval_config
         upsamples = self.convention == "native_lr"
         s = self.scale if upsamples else 1
@@ -100,7 +104,7 @@ class Evaluator:
 
     def run(self, loader, save_dir: Optional[str] = None) -> Dict[str, float]:
         ecfg = self.eval_config
-        fwd = self._forward_fn()
+        fwd = self.forward_fn()
         if save_dir:
             Path(save_dir).mkdir(parents=True, exist_ok=True)
 
