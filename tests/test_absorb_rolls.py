@@ -1,0 +1,180 @@
+"""Roll-absorbing megakernel reads (fused_block.ABSORB_ROLLS): the
+shifted-window rolls ride the kernel's strip reads (neighbor blocks +
+VMEM assembly) instead of jnp.roll passes.  Parity vs the roll-based
+production path across the read regimes:
+
+- rows in-block (nchunks == 1), columns cross-block
+- rows cross-block (nchunks > 1, forced via max_p)
+- folded pairs (in-block per-sample segment rolls)
+- odd-batch remainder split (folded main + unfolded tail)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tpu_superresolution_tpu.ops.pallas.fused_block as fb
+from tpu_superresolution_tpu.core.config import SwinIRConfig, build_model
+from tpu_superresolution_tpu.ops.window import cyclic_shift, cyclic_unshift
+from tpu_superresolution_tpu.ops.window import shift_attn_mask
+
+
+def _tiny_swinir(**kw):
+    cfg = SwinIRConfig(
+        scale=2, img_size=32, window_size=8, embed_dim=12,
+        depths=(2, 2), num_heads=(2, 2), mlp_ratio=2.0,
+        attention_impl="fused", upsampler="pixelshuffledirect",
+        drop_path_rate=0.0, **kw,
+    )
+    return cfg, build_model(cfg)
+
+
+@pytest.mark.parametrize("batch", [1, 2, 3])
+def test_swinir_forward_matches_roll_path(batch):
+    """Whole-model parity: ABSORB_ROLLS on == off (b=2 folds, b=3 takes
+    the odd-batch remainder split)."""
+    cfg, model = _tiny_swinir()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((batch, 32, 32, 3), np.float32))
+    v = model.init(jax.random.key(0), x[:1], train=False)
+
+    assert fb.ABSORB_ROLLS is False  # production default until measured
+    ref = model.apply(v, x, train=False)
+    try:
+        fb.ABSORB_ROLLS = True
+        out = model.apply(v, x, train=False)
+    finally:
+        fb.ABSORB_ROLLS = False
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=0
+    )
+
+
+def _raw_block_weights(rng, c, nh, n, mlp=2.0):
+    r = lambda *s: jnp.asarray(rng.normal(0, 0.08, s), jnp.float32)
+    hid = int(c * mlp)
+    return dict(
+        g1=jnp.ones((c,)), b1=r(c), wqkv=r(c, 3 * c), bqkv=r(3 * c),
+        wproj=r(c, c), bproj=r(c), g2=jnp.ones((c,)), b2=r(c),
+        wfc1=r(c, hid), bfc1=r(hid), wfc2=r(hid, c), bfc2=r(c),
+        bias=r(nh, n, n),
+    )
+
+
+@pytest.mark.parametrize("shift_sign", [1, -1])
+@pytest.mark.parametrize("max_p", [16, 2])
+def test_mega_forward_read_shift_matches_rolls(shift_sign, max_p):
+    """Kernel-level parity incl. the cross-block row regime (max_p=2
+    forces nchunks=2 at nwh=4)."""
+    ws, h, w, c, nh, b = 8, 32, 32, 12, 2, 1
+    n = ws * ws
+    rng = np.random.default_rng(1)
+    wts = _raw_block_weights(rng, c, nh, n)
+    x = jnp.asarray(rng.random((b, h, w, c), np.float32))
+    scales = jnp.ones((b, 2), jnp.float32)
+    v = shift_sign * (ws // 2)
+    # compute coordinates shifted by max(v, 0): mask matches the
+    # compute-coords partition; the stored array is rolled by ρ = σ - v
+    sigma = max(v, 0)
+    mask = shift_attn_mask(h, w, ws, sigma) if sigma else None
+    stored = cyclic_shift(x, sigma - v)
+
+    common = dict(ws=ws, mask=mask, scale=(c // nh) ** -0.5,
+                  gelu_approx=False, interpret=True, max_p=max_p)
+    ref = fb._mega_forward(
+        cyclic_shift(stored, v), *[wts[k] for k in (
+            "g1", "b1", "wqkv", "bqkv", "wproj", "bproj", "g2", "b2",
+            "wfc1", "bfc1", "wfc2", "bfc2", "bias")], scales, **common,
+    )
+    out = fb._mega_forward(
+        stored, *[wts[k] for k in (
+            "g1", "b1", "wqkv", "bqkv", "wproj", "bproj", "g2", "b2",
+            "wfc1", "bfc1", "wfc2", "bfc2", "bias")], scales,
+        read_shift=v, **common,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=0
+    )
+
+
+def test_mega_forward_read_shift_folded():
+    """Folded even batch: the absorbed row wrap stays per original
+    sample (in-block segment rolls)."""
+    ws, h, w, c, nh, b = 8, 32, 32, 12, 2, 4
+    n = ws * ws
+    rng = np.random.default_rng(2)
+    wts = _raw_block_weights(rng, c, nh, n)
+    x = jnp.asarray(rng.random((b, h, w, c), np.float32))
+    scales = jnp.ones((b, 2), jnp.float32)
+    v = ws // 2
+    mask = shift_attn_mask(h, w, ws, v)
+    names = ("g1", "b1", "wqkv", "bqkv", "wproj", "bproj", "g2", "b2",
+             "wfc1", "bfc1", "wfc2", "bfc2", "bias")
+    common = dict(ws=ws, mask=mask, scale=(c // nh) ** -0.5,
+                  gelu_approx=False, interpret=True, allow_fold=True)
+    stored = cyclic_unshift(x, v)  # stored in true coords, compute at +v
+    ref = fb._mega_forward(
+        x, *[wts[k] for k in names], scales, **common,
+    )
+    out = fb._mega_forward(
+        stored, *[wts[k] for k in names], scales, read_shift=v, **common,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=0
+    )
+
+
+def test_absorb_rolls_reduces_roll_count(monkeypatch):
+    """The absorbed path emits ONE roll per RSTB (layer tail) instead
+    of two per shifted block."""
+    import tpu_superresolution_tpu.models.swinir as swinir_mod
+
+    cfg, model = _tiny_swinir()
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((1, 32, 32, 3), np.float32))
+    v = model.init(jax.random.key(0), x, train=False)
+
+    calls = []
+
+    def count(fn, tag):
+        def wrapped(arr, shift):
+            if shift:
+                calls.append(tag)
+            return fn(arr, shift)
+        return wrapped
+
+    monkeypatch.setattr(
+        swinir_mod, "cyclic_shift", count(cyclic_shift, "s")
+    )
+    monkeypatch.setattr(
+        swinir_mod, "cyclic_unshift", count(cyclic_unshift, "u")
+    )
+
+    def nrolls(absorb):
+        calls.clear()
+        try:
+            fb.ABSORB_ROLLS = absorb
+            jax.jit(lambda b: model.apply(v, b, train=False)).lower(x)
+        finally:
+            fb.ABSORB_ROLLS = False
+        return len(calls)
+
+    # depths (2,2): one shifted block per layer -> 2 rolls/layer rolled,
+    # 1 tail unroll/layer absorbed.
+    assert nrolls(False) == 4
+    assert nrolls(True) == 2
+
+
+def test_read_shift_rejects_extra():
+    ws, c, nh, n = 8, 12, 2, 64
+    rng = np.random.default_rng(4)
+    wts = _raw_block_weights(rng, c, nh, n)
+    x = jnp.zeros((1, 16, 16, c), jnp.float32)
+    with pytest.raises(AssertionError):
+        fb.fused_swin_block(
+            x, *[wts[k] for k in (
+                "g1", "b1", "wqkv", "bqkv", "wproj", "bproj", "g2", "b2",
+                "wfc1", "bfc1", "wfc2", "bfc2", "bias")],
+            ws, None, 1.0, False, True, extra=x, read_shift=4,
+        )

@@ -190,7 +190,15 @@ class SwinBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, coord_in: int = 0,
+                 absorb: bool = False):
+        """`absorb`/`coord_in` (fused_block.ABSORB_ROLLS): the caller
+        (RSTB) threads the stored-coordinate shift through its block
+        sequence; this block reads at the offset (shift - coord_in)
+        inside the megakernel instead of rolling, and returns
+        (out, coord_out) with its output left in compute coordinates.
+        Any fallback path first restores true coordinates and returns
+        coord_out=0."""
         from tpu_superresolution_tpu.ops.pallas.fused_block import (
             fused_swin_block,
         )
@@ -212,12 +220,19 @@ class SwinBlock(nn.Module):
         )
 
         dp_active = (not deterministic) and self.drop_path_rate > 0
-        if (
+        fused_ok = (
             resolve_attention_impl(self.attn_impl) == "fused"
             and h % ws == 0
             and w % ws == 0
             and megakernel_tpu_ok(ws, w)
-        ):
+        )
+        # Roll absorption needs the fused inference path (the offset
+        # read bypasses the custom_vjp; drop-path training falls back).
+        do_absorb = absorb and fused_ok and not dp_active
+        if absorb and not do_absorb and coord_in:
+            x = cyclic_unshift(x, coord_in)
+            coord_in = 0
+        if fused_ok:
             nh = self.num_heads
             wqkv, bqkv, wproj, bproj, table = _AttnParams(
                 self.dim, ws, nh, self.qkv_bias, name="attn"
@@ -244,6 +259,15 @@ class SwinBlock(nn.Module):
                 m1 = jax.random.bernoulli(k1, keep, (b,)) / keep
                 m2 = jax.random.bernoulli(k2, keep, (b,)) / keep
                 scales = jnp.stack([m1, m2], axis=1).astype(jnp.float32)
+            if do_absorb:
+                out = fused_swin_block(
+                    x.astype(self.dtype), g1, b1, wqkv, bqkv, wproj,
+                    bproj, g2, b2, w1, bb1, w2, bb2,
+                    bias.astype(jnp.float32),
+                    ws, mask, (c // nh) ** -0.5, self.gelu_approximate,
+                    branch_scales=scales, read_shift=shift - coord_in,
+                )
+                return out, shift
             xs = cyclic_shift(x.astype(self.dtype), shift)
             out = fused_swin_block(
                 xs, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
@@ -251,7 +275,8 @@ class SwinBlock(nn.Module):
                 ws, mask, (c // nh) ** -0.5, self.gelu_approximate,
                 branch_scales=scales,
             )
-            return cyclic_unshift(out, shift)
+            out = cyclic_unshift(out, shift)
+            return (out, 0) if absorb else out
 
         shortcut = x
         x = PLayerNorm(dtype=self.dtype, name="norm1")(x)
@@ -280,7 +305,10 @@ class SwinBlock(nn.Module):
             if (not deterministic and self.drop_path_rate > 0)
             else None
         )
-        return x + drop_path(y, self.drop_path_rate, deterministic or rng2 is None, rng2)
+        out = x + drop_path(
+            y, self.drop_path_rate, deterministic or rng2 is None, rng2
+        )
+        return (out, 0) if absorb else out
 
 
 class RSTB(nn.Module):
@@ -303,12 +331,22 @@ class RSTB(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from tpu_superresolution_tpu.ops.pallas import fused_block as _fb
+
         res = x
         block_cls = SwinBlock
         if self.use_remat:
             block_cls = nn.remat(SwinBlock, static_argnums=(2,))
+        # Roll absorption (fused_block.ABSORB_ROLLS): thread the stored-
+        # coordinate shift through the block sequence — each fused block
+        # reads at its (shift - coord) offset instead of rolling, and
+        # ONE roll at the layer tail restores true coordinates
+        # (replaces two rolls per shifted block).  Inference only; remat
+        # wraps the call signature, so it opts out.
+        absorb = _fb.ABSORB_ROLLS and deterministic and not self.use_remat
+        coord = 0
         for j in range(self.depth):
-            x = block_cls(
+            blk = block_cls(
                 self.dim,
                 self.num_heads,
                 self.window_size,
@@ -320,7 +358,13 @@ class RSTB(nn.Module):
                 self.gelu_approximate,
                 self.dtype,
                 name=f"blocks_{j}",
-            )(x, deterministic)
+            )
+            if absorb:
+                x, coord = blk(x, deterministic, coord, True)
+            else:
+                x = blk(x, deterministic)
+        if coord:
+            x = cyclic_unshift(x, coord)
         if self.resi_connection == "1conv":
             x = Conv3x3(self.dim, dtype=self.dtype, name="conv")(x)
         else:  # 3conv bottleneck (network_swinir.py:466-471)

@@ -96,6 +96,22 @@ PACKED_VARIANT = "v3"
 # classic packed path pays.  A/B switch for measurement.
 SPATIAL_PACKED = False
 
+# Absorb the cyclic shift rolls into the strip megakernel's READS at
+# inference: instead of jnp.roll(x, -s) -> kernel -> jnp.roll(out, +s)
+# around every shifted block (~2.5 ms of SwinIR-M's 37.1 ms 256^2
+# forward — each roll is a full HBM read+write pass at its bandwidth
+# roofline), the kernel reads its strip at a (row, col) offset from up
+# to four neighboring blocks and assembles the shifted view in VMEM
+# (outer-dim row concat is free; the ws-sublane column concat+slice is
+# a Mosaic relayout).  The stored activation stays in the PREVIOUS
+# block's compute coordinates; RSTB threads the coordinate offset
+# through its block sequence and pays ONE roll per layer tail instead
+# of two per shifted block.  Inference-only (the custom_vjp pairs with
+# offset-free reads); SwinBlock gates it on deterministic + no remat.
+# Off until measured on real Mosaic (the sublane-offset column slice
+# is the compile risk).
+ABSORB_ROLLS = False
+
 
 def _variant_kwargs(variant: str) -> dict:
     kw = {"use_exp2": False, "pairw": 1, "stackv": False}
@@ -206,7 +222,8 @@ def _gelu(x, approximate):
 def _kernel(x_ref, *refs,
             num_heads, hdp, ws, p, c, cdt, gelu_approx,
             has_extra, has_mask, n=None, sample_blocks=0,
-            use_exp2=False, pairw=1, stackv=False, spatial_ws=0):
+            use_exp2=False, pairw=1, stackv=False, spatial_ws=0,
+            read_rc=None):
     # Strip mode (default): blocks are (1, p*ws, ws, C) vertical strips,
     # grid (B, nchunks, nww), mask blocks (p, 1, n, n).  Packed mode
     # (n given, sample_blocks>0): blocks are (G, n, C) pre-partitioned
@@ -232,6 +249,18 @@ def _kernel(x_ref, *refs,
     #   [nH, P, N, hdp] batched GEMMs and a single multi-contract proj
     #   GEMM (K = nH*hdp = 192) against wproj reshaped [nH, hdp, C].
     refs = list(refs)
+    # Roll-absorbing strip reads (ABSORB_ROLLS): the shifted view is
+    # assembled in VMEM from the base block plus its row/column/corner
+    # neighbors (wraps pre-resolved in the index maps).  Rows are an
+    # outer-dim concat (free); columns concat on the ws sublane dim then
+    # slice at the shift offset (a Mosaic relayout).
+    xn_refs = []
+    if read_rc is not None:
+        _, _, row_nbr, col_nbr, _ = read_rc
+        n_nbr = (1 if row_nbr else 0) + (
+            (2 if row_nbr else 1) if col_nbr else 0
+        )
+        xn_refs = [refs.pop(0) for _ in range(n_nbr)]
     e_ref = refs.pop(0) if has_extra else None
     # [B, 2] SMEM (whole array — Mosaic requires SMEM blocks be full or
     # tile-aligned): per-sample branch scales (m1, m2), indexed by the
@@ -262,6 +291,41 @@ def _kernel(x_ref, *refs,
 
     if spatial_ws:
         xf = win_major(x_ref).astype(jnp.float32)
+    elif read_rc is not None:
+        rs, cs, row_nbr, col_nbr, segs = read_rc
+        nrefs = iter(xn_refs)
+
+        def _rows(base, nbr):
+            # Shift the strip's rows by rs: cross-block (nbr supplies the
+            # wrapped tail) or in-block per-sample segment rolls
+            # (nchunks == 1; segs = fold factor).  Outer-dim slices/concat
+            # — layout-free.
+            if rs == 0:
+                return base
+            if row_nbr:
+                return jnp.concatenate([base[rs:], nbr[:rs]], axis=0)
+            seg_l = base.shape[0] // segs
+            parts = []
+            for k in range(segs):
+                seg = base[k * seg_l : (k + 1) * seg_l]
+                parts.append(
+                    jnp.concatenate([seg[rs:], seg[:rs]], axis=0)
+                )
+            return jnp.concatenate(parts, axis=0) if segs > 1 else parts[0]
+
+        xa = x_ref[0]  # [p*ws, ws, C]
+        xb = next(nrefs)[0] if row_nbr else None
+        left = _rows(xa, xb)
+        if cs == 0:
+            tile = left
+        elif col_nbr:
+            xc_ = next(nrefs)[0]
+            xd_ = next(nrefs)[0] if row_nbr else None
+            right = _rows(xc_, xd_)
+            tile = jnp.concatenate([left, right], axis=1)[:, cs : cs + ws, :]
+        else:
+            tile = jnp.concatenate([left[:, cs:], left[:, :cs]], axis=1)
+        xf = tile.reshape(t, c).astype(jnp.float32)
     else:
         xf = x_ref[:].reshape(t, c).astype(jnp.float32)
 
@@ -627,7 +691,9 @@ def _mega_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
                   wfc1, bfc1, wfc2, bfc2, bias, scales,
                   ws, mask, scale, gelu_approx, interpret, extra=None,
                   max_p=16, use_exp2=False, pairw=1, stackv=False,
-                  allow_fold=False):
+                  allow_fold=False, read_shift=0):
+    if read_shift:
+        assert extra is None, "roll absorption does not support `extra`"
     b, hh, www, c = x.shape
     nh = bias.shape[0]
     nwh, nww = hh // ws, www // ws
@@ -666,7 +732,7 @@ def _mega_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
                   wfc1, bfc1, wfc2, bfc2, bias)
         kw = dict(gelu_approx=gelu_approx, interpret=interpret,
                   max_p=max_p, use_exp2=use_exp2, pairw=pairw,
-                  stackv=stackv)
+                  stackv=stackv, read_shift=read_shift)
         main = _mega_forward(
             x[:-1], *common, scales[:-1], ws, mask, scale, **kw,
             extra=None if extra is None else extra[:-1], allow_fold=True,
@@ -719,17 +785,71 @@ def _mega_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
     cdt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
     row = lambda a: a.reshape(1, -1)
 
+    grid = (b, nchunks, nww)
+
+    def omap(bb, r, cc):
+        return (bb, r, cc, 0)
+
+    xmap = omap
+
+    # Roll absorption (ABSORB_ROLLS; read_shift = compute-coords shift
+    # minus stored-coords shift): the kernel reads its strip at a
+    # (read_shift, read_shift) spatial offset.  Rows cross chunk blocks
+    # (neighbor ref, wrap mod nchunks) or roll in-block when nchunks==1
+    # (per original sample under folding — fold implies nchunks==1, see
+    # fold_geom); columns cross window-column blocks (wrap mod nww).
+    # The base block index shifts down one for negative offsets; the
+    # output spec stays identity — results are written in compute
+    # coordinates, which become the NEXT block's stored coordinates.
+    read_rc = None
+    x_nbr_specs = []
+    if read_shift:
+        v = read_shift
+        pws = p * ws
+        row_nbr = nchunks > 1
+        col_nbr = nww > 1
+        segs = 2 if fold else 1
+        rs = v % pws if row_nbr else v % (pws // segs)
+        cs = v % ws
+
+        def base_r(r):
+            return (r - 1) % nchunks if (v < 0 and row_nbr) else r
+
+        def base_c(cc):
+            return (cc - 1) % nww if (v < 0 and col_nbr) else cc
+
+        def xm(dr=0, dc=0):
+            return lambda bb, r, cc: (
+                bb,
+                (base_r(r) + dr) % nchunks,
+                (base_c(cc) + dc) % nww,
+                0,
+            )
+
+        bshape = (1, pws, ws, c)
+        xmap = xm()
+        if row_nbr:
+            x_nbr_specs.append(
+                pl.BlockSpec(bshape, xm(dr=1), memory_space=pltpu.VMEM)
+            )
+        if col_nbr:
+            x_nbr_specs.append(
+                pl.BlockSpec(bshape, xm(dc=1), memory_space=pltpu.VMEM)
+            )
+            if row_nbr:
+                x_nbr_specs.append(
+                    pl.BlockSpec(
+                        bshape, xm(dr=1, dc=1), memory_space=pltpu.VMEM
+                    )
+                )
+        read_rc = (rs, cs, row_nbr, col_nbr, segs)
+
     kernel = functools.partial(
         _kernel, num_heads=nh, hdp=hdp, ws=ws, p=p, c=c, cdt=cdt,
         gelu_approx=gelu_approx,
         has_extra=extra is not None, has_mask=mask is not None,
-        use_exp2=use_exp2, pairw=pairw, stackv=stackv,
+        use_exp2=use_exp2, pairw=pairw, stackv=stackv, read_rc=read_rc,
     )
-
-    grid = (b, nchunks, nww)
-
-    def xmap(bb, r, cc):
-        return (bb, r, cc, 0)
 
     const = lambda *shape: (lambda bb, r, cc: tuple([0] * len(shape)))
 
@@ -746,6 +866,7 @@ def _mega_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
     )
     in_specs = (
         [xspec]
+        + x_nbr_specs
         + ([xspec] if extra is not None else [])
         + [scspec]
         + [
@@ -765,7 +886,7 @@ def _mega_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
         ]
     )
 
-    args = [x]
+    args = [x] + [x] * len(x_nbr_specs)
     if extra is not None:
         args.append(extra.astype(dtype))
     args += [
@@ -800,7 +921,9 @@ def _mega_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=xspec,
+        out_specs=pl.BlockSpec(
+            (1, p * ws, ws, c), omap, memory_space=pltpu.VMEM
+        ),
         out_shape=jax.ShapeDtypeStruct(x.shape, dtype),
         interpret=interpret,
     )(*args)
@@ -953,9 +1076,16 @@ def fused_swin_block(
     x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
     wfc1, bfc1, wfc2, bfc2, bias,
     ws, mask=None, scale=1.0, gelu_approx=True, interpret=None,
-    extra=None, branch_scales=None, variant=None,
+    extra=None, branch_scales=None, variant=None, read_shift=0,
 ):
     """Full Swin transformer block on a (pre-rolled) [B, H, W, C] map.
+
+    `read_shift` (ABSORB_ROLLS): read the input at a (read_shift,
+    read_shift) cyclic spatial offset inside the kernel instead of the
+    caller rolling the array — the output stays in the block's compute
+    coordinates (the caller tracks them; see SwinBlock/RSTB).
+    Inference-only: this path bypasses the custom_vjp (differentiating
+    it raises on the raw pallas_call).
 
     Requires H % ws == 0 and W % ws == 0 (callers reflect-pad — the
     model already guarantees window multiples).  Differentiable via
@@ -983,6 +1113,15 @@ def fused_swin_block(
         branch_scales = jnp.ones((x.shape[0], 2), jnp.float32)
     vkw = _variant_kwargs(MEGA_VARIANT if variant is None else variant)
     vkw["allow_fold"] = allow_fold
+
+    if read_shift:
+        assert extra is None, "read_shift does not support `extra`"
+        return _mega_forward(
+            x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+            wfc1, bfc1, wfc2, bfc2, bias, branch_scales,
+            ws, mask, scale, gelu_approx, interpret,
+            read_shift=read_shift, **vkw,
+        )
 
     if extra is None:
 
