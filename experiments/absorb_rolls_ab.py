@@ -21,8 +21,16 @@ v = model.init(jax.random.key(0), x256[:, :64, :64], train=False)
 
 for shape_tag, xin in (("256x256", x256), ("b25t64", xt)):
     fns, outs = {}, {}
-    for tag, absorb in (("rolls", False), ("absorb", True)):
+    # b25t64 additionally A/Bs the odd-batch fold SPLIT (24 folded + 1
+    # tail, session-2 code, unmeasured — engages at the bench's b=25 by
+    # default) against no folding.
+    cases = [("rolls", False, True), ("absorb", True, True)]
+    if shape_tag == "b25t64":
+        cases.append(("rolls+nofold", False, False))
+        cases.append(("absorb+nofold", True, False))
+    for tag, absorb, fold in cases:
         fb.ABSORB_ROLLS = absorb
+        fb.ALLOW_FOLD = fold
         fn = jax.jit(lambda b, model=model, v=v: model.apply(v, b, train=False))
         t0 = time.time()
         try:
@@ -34,7 +42,8 @@ for shape_tag, xin in (("256x256", x256), ("b25t64", xt)):
         print(f"[compile] {shape_tag}/{tag}: {time.time()-t0:.0f}s", flush=True)
         fns[tag] = fn; outs[tag] = np.asarray(o, np.float32)
     fb.ABSORB_ROLLS = False
-    if len(outs) == 2:
+    fb.ALLOW_FOLD = True
+    if "rolls" in outs and "absorb" in outs:
         print(f"{shape_tag} maxdiff: "
               f"{float(np.max(np.abs(outs['absorb'] - outs['rolls']))):.2e}",
               flush=True)
