@@ -178,3 +178,27 @@ def test_read_shift_rejects_extra():
                 "wfc1", "bfc1", "wfc2", "bfc2", "bias")],
             ws, None, 1.0, False, True, extra=x, read_shift=4,
         )
+
+
+def test_absorb_composes_with_conv_impls():
+    """Post-A/B default flips compose: ABSORB_ROLLS x trunk-conv impl x
+    input-conv impl stay bit-consistent with the baseline flags."""
+    import tpu_superresolution_tpu.models.blocks as blocks
+
+    cfg, model = _tiny_swinir()
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random((2, 32, 32, 3), np.float32))
+    v = model.init(jax.random.key(0), x[:1], train=False)
+    ref = model.apply(v, x, train=False)
+    try:
+        fb.ABSORB_ROLLS = True
+        blocks.CONV3X3_IMPL = "gemm"
+        blocks.CONV3X3_INPUT_IMPL = "gemm"
+        out = model.apply(v, x, train=False)
+    finally:
+        fb.ABSORB_ROLLS = False
+        blocks.CONV3X3_IMPL = "xla"
+        blocks.CONV3X3_INPUT_IMPL = "xla"
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=5e-5, rtol=0
+    )
