@@ -3,59 +3,29 @@ SwinIR-lite from scratch on the synthetic DeepRock-layout set through
 the finetune CLI, then show test-split PSNR beats the bicubic floor via
 the evaluate CLI.  (The UNet2D proof exists — +10.4 dB over floor; this
 closes the transformer gap.  DeepRockSR-2D itself is not present in the
-environment.)
+environment.)  Measured on v5e: 42.67 dB vs the 33.74 dB bicubic floor
+(PARITY.md round 3).
 
 Run on the TPU: python experiments/swinir_quality_proof.py [epochs]
 """
 
-import os
 import sys
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
-
-import tempfile
+from proof_common import run_proof
 
 EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 300
 
 
 def main():
-    from util_fakedata import make_deeprock_dataset
-
-    tmp = tempfile.mkdtemp(prefix="swinir_proof_")
-    root = make_deeprock_dataset(
-        tmp, n_per_split=48, hr_size=96, scale="X2", seed=7
-    )
-    print("[proof] dataset:", root, flush=True)
-    workdir = os.path.join(tmp, "run")
-    os.makedirs(workdir, exist_ok=True)
-
     from tpu_superresolution_tpu.cli.finetune import main as finetune_main
 
-    finetune_main([
-        "--data_root", str(root), "--scale", "X2",
+    run_proof("swinir_proof_", finetune_main, lambda root, workdir: [
+        "--data_root", root, "--scale", "X2",
         "--epochs", str(EPOCHS), "--batch_size", "8", "--lr_patch", "32",
         "--lr", "2e-4", "--min_lr", "1e-5",
         "--embed_dim", "60", "--depths", "4,4,4,4", "--num_heads", "6,6,6,6",
         "--window_size", "8", "--workdir", workdir,
     ])
-
-    from tpu_superresolution_tpu.cli.evaluate import main as evaluate_main
-
-    ckpt = None
-    for cand in ("bestpsnr_X2", "best_X2"):
-        p = os.path.join(workdir, cand)
-        if os.path.isdir(p):
-            ckpt = p
-            break
-    assert ckpt, os.listdir(workdir)
-    print("[proof] evaluating", ckpt, flush=True)
-    res = evaluate_main([
-        "--scale", "X2", "--data_root", str(root), "--ckpt", ckpt,
-        "--batch_size", "4",
-    ])
-    print(f"[proof] FINAL test PSNR {res['psnr']:.2f} dB SSIM {res['ssim']:.4f}",
-          flush=True)
 
 
 if __name__ == "__main__":

@@ -286,3 +286,38 @@ def test_upscale_cli_torch_checkpoint(dataset, tmp_path, capsys):
     capsys.readouterr()
     with Image.open(outs[0]) as sr:
         assert sr.size == (24, 24)
+
+
+def test_upscale_cli_dp_sharded(dataset, tmp_path, capsys):
+    """--dp shards the tile batch over the virtual mesh and matches the
+    single-device tiled output."""
+    from PIL import Image
+
+    from tpu_superresolution_tpu.cli.train import main as train_main
+    from tpu_superresolution_tpu.cli.upscale import main as upscale_main
+
+    train_main([
+        "--data_root", str(dataset), "--scale", "X2",
+        "--model", "unet2d", "--base_channels", "4", "--depth", "1",
+        "--epochs", "1", "--batch_size", "4", "--patch_size", "32",
+        "--workdir", str(tmp_path),
+    ])
+    capsys.readouterr()
+    ckpt = str(tmp_path / "best_X2")
+
+    rng = np.random.default_rng(9)
+    img = tmp_path / "big.png"
+    Image.fromarray(
+        (rng.random((40, 40, 3)) * 255).astype(np.uint8)
+    ).save(img)
+
+    common = ["--ckpt", ckpt, "--image", str(img),
+              "--tile", "16", "--tile_overlap", "4"]
+    a = upscale_main(common + ["--out", str(tmp_path / "single.png")])
+    b = upscale_main(common + ["--out", str(tmp_path / "dp.png"),
+                               "--dp", "2"])
+    out = capsys.readouterr().out
+    assert "sharded tiled inference over 2 devices" in out
+    ia = np.asarray(Image.open(a[0]), np.int32)
+    ib = np.asarray(Image.open(b[0]), np.int32)
+    assert np.max(np.abs(ia - ib)) <= 1  # PNG quantization of bf16 noise

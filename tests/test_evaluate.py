@@ -88,6 +88,17 @@ def dataset(tmp_path_factory):
     return root
 
 
+def test_tiled_forward_narrow_image_full_coverage(rng):
+    """Short edge < tile <= long edge: the grids must use the CLAMPED
+    tile or columns between tile-size-spaced starts get zero blend
+    weight (regression: NaNs on a 64x400 panorama at tile 192)."""
+    fn = _shift_invariant_fn(2)
+    x = jnp.asarray(rng.random((1, 64, 400, 1), dtype=np.float32))
+    out = tiled_forward(fn, x, 2, tile=192, overlap=16)
+    assert bool(jnp.isfinite(out).all())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(fn(x)), atol=1e-5)
+
+
 def test_bicubic_baseline_reasonable(dataset):
     idx = PairedIndex(str(dataset), "test", "X2")
     loader = Loader(idx, 3)

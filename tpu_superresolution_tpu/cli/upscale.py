@@ -18,7 +18,7 @@ import argparse
 import time
 from pathlib import Path
 
-# Auto-tiling threshold: whole-image forward below this edge length
+# Auto-tiling threshold on the LONG edge: whole-image forward below it
 # (attention sees full context — best quality); tiled above it to
 # bound compile time and HBM.
 AUTO_TILE_MIN_EDGE = 256
@@ -46,7 +46,7 @@ def build_argparser():
                          "(default: next to each input as "
                          "<stem>_srNx.png)")
     ap.add_argument("--tile", type=int, default=-1,
-                    help="-1 = auto (whole image if its short edge is "
+                    help="-1 = auto (whole image if its long edge is "
                          f"<= {AUTO_TILE_MIN_EDGE}px, else tile "
                          f"{AUTO_TILE}/{AUTO_OVERLAP}); 0 = force whole "
                          "image; N = tile size")
@@ -60,6 +60,9 @@ def build_argparser():
                          "as-trained for framework checkpoints")
     ap.add_argument("--rescale_png", action="store_true",
                     help="min-max rescale the output instead of clamping")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="shard the tile batch across N mesh devices "
+                         "(requires tiling — auto or explicit)")
     return ap
 
 
@@ -76,17 +79,24 @@ def main(argv=None):
     )
 
     report_devices()
-    if args.ckpt.endswith((".pt", ".pth")) and args.scale is None:
+    is_torch = args.ckpt.endswith((".pt", ".pth"))
+    if is_torch and args.scale is None:
         raise SystemExit("--scale is required for torch .pt/.pth checkpoints")
+    if not is_torch:
+        from tpu_superresolution_tpu.train.checkpoint import (
+            model_config_from_checkpoint,
+        )
+
+        if model_config_from_checkpoint(args.ckpt) is None:
+            raise SystemExit(
+                f"{args.ckpt}: checkpoint carries no embedded model "
+                "config — cannot infer the architecture to build"
+            )
     scale_int = int(args.scale[1:]) if args.scale else 0
     mcfg, model, variables = load_any_checkpoint(
         args.ckpt, args.model, scale_int, exact=args.exact
     )
     scale = mcfg.scale
-    if not scale:
-        raise SystemExit(
-            "checkpoint carries no model config — pass --scale"
-        )
     if args.scale and scale != scale_int:
         raise SystemExit(
             f"checkpoint is X{scale} but --scale {args.scale} was given"
@@ -105,26 +115,55 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
+    mesh = None
+    if args.dp and args.dp > 1:
+        from tpu_superresolution_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.dp)
+        print(f"[dp] sharded tiled inference over {args.dp} devices")
+
+    # One jitted forward per tiling config — jit's shape-keyed cache
+    # then reuses the compile across same-sized images.
+    fwd_cache = {}
+
+    def forward_for(tile):
+        if not tile and mesh is not None:
+            raise SystemExit("--dp requires tiling (the image is below "
+                             "the auto-tile threshold; pass --tile N)")
+        if tile not in fwd_cache:
+            ecfg = EvalConfig(
+                batch_size=1,
+                tile_size=tile or None,
+                tile_overlap=args.tile_overlap,
+                max_tile_batch=args.tile_batch or None,
+            )
+            fwd_cache[tile] = Evaluator(
+                model, variables, scale, convention, ecfg, mesh=mesh
+            ).forward_fn()
+        return fwd_cache[tile]
+
+    used_names = set()
     for path in args.image:
         p = Path(path)
         img = decode_image(p, grayscale=channels == 1, channels=channels)
         h, w = img.shape[:2]
         tile = args.tile
         if tile < 0:
-            tile = AUTO_TILE if min(h, w) > AUTO_TILE_MIN_EDGE else 0
-        ecfg = EvalConfig(
-            batch_size=1,
-            tile_size=tile or None,
-            tile_overlap=args.tile_overlap,
-            max_tile_batch=args.tile_batch or None,
-        )
-        fwd = Evaluator(model, variables, scale, convention, ecfg).forward_fn()
+            # gate on the LONG edge: an elongated image blows compile
+            # time/HBM just as much as a square one
+            tile = AUTO_TILE if max(h, w) > AUTO_TILE_MIN_EDGE else 0
+        fwd = forward_for(tile)
         t0 = time.time()
         sr = fwd(jnp.asarray(img)[None])[0]
         sr.block_until_ready()
         dt = time.time() - t0
         if out_dir is not None:
             out_path = out_dir / f"{p.stem}_sr{scale}x.png"
+            k = 1
+            while str(out_path) in used_names:  # same stem, different dir
+                out_path = out_dir / f"{p.stem}_sr{scale}x_{k}.png"
+                k += 1
+            used_names.add(str(out_path))
         elif args.out is not None:
             out_path = Path(args.out)
         else:

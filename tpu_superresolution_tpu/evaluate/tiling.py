@@ -70,9 +70,14 @@ def tiled_forward(
     and XLA frees/reuses chunk buffers sequentially.
     """
     b, h, w, c = x.shape
-    ys = tile_grid(h, tile, overlap)
-    xs = tile_grid(w, tile, overlap)
+    # The effective tile is clamped by the SHORT edge; the grids must
+    # use the clamped size too, or a long-and-narrow image (short edge
+    # < tile <= long edge) leaves uncovered strips between tile starts
+    # (zero blend weight -> NaN).
     t = min(tile, h, w)
+    ov = min(overlap, t - 1) if t > 1 else 0
+    ys = tile_grid(h, t, ov)
+    xs = tile_grid(w, t, ov)
 
     if len(ys) == 1 and len(xs) == 1 and t >= max(h, w):
         return apply_fn(x)
@@ -158,9 +163,11 @@ def sharded_tiled_forward(
     from jax.sharding import PartitionSpec as P
 
     b, h, w, c = x.shape
-    ys = tile_grid(h, tile, overlap)
-    xs = tile_grid(w, tile, overlap)
+    # clamped-tile grids: see tiled_forward (NaN strips otherwise)
     t = min(tile, h, w)
+    ov = min(overlap, t - 1) if t > 1 else 0
+    ys = tile_grid(h, t, ov)
+    xs = tile_grid(w, t, ov)
     n_dev = mesh.shape[axis_name]
 
     tiles = []
