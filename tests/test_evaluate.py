@@ -99,6 +99,31 @@ def test_tiled_forward_narrow_image_full_coverage(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(fn(x)), atol=1e-5)
 
 
+def test_tiled_forward_geometry_sweep(rng):
+    """Property sweep: tiled == direct for a shift-invariant fn across
+    odd geometries (narrow, tall, tile > both edges, tile == edge,
+    overlap ~ tile, with and without max_tile_batch)."""
+    fn = _shift_invariant_fn(2)
+    cases = [
+        (13, 200, 64, 16, None),   # very narrow
+        (200, 13, 64, 16, 3),      # very tall + chunked tile batch
+        (50, 50, 64, 8, None),     # tile > both edges (whole image)
+        (64, 64, 64, 8, None),     # tile == edges
+        (65, 64, 64, 8, 2),        # one edge barely over
+        (40, 56, 16, 14, None),    # overlap close to tile
+        (9, 9, 8, 4, None),        # tiny
+    ]
+    for h, w, tile, ov, mtb in cases:
+        x = jnp.asarray(rng.random((1, h, w, 1), dtype=np.float32))
+        out = tiled_forward(fn, x, 2, tile=tile, overlap=ov,
+                            max_tile_batch=mtb)
+        assert bool(jnp.isfinite(out).all()), (h, w, tile, ov, mtb)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(fn(x)), atol=1e-5,
+            err_msg=str((h, w, tile, ov, mtb)),
+        )
+
+
 def test_bicubic_baseline_reasonable(dataset):
     idx = PairedIndex(str(dataset), "test", "X2")
     loader = Loader(idx, 3)
