@@ -1,0 +1,99 @@
+"""Inference server (cli/serve.py): POST an encoded image, get the
+super-resolved PNG back; health endpoint reports the loaded model."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tests.util_fakedata import make_deeprock_dataset
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve")
+    root = tmp / "data"
+    make_deeprock_dataset(root, hr_size=48, scale="X2", n_per_split=6)
+    from tpu_superresolution_tpu.cli.train import main as train_main
+
+    train_main([
+        "--data_root", str(root), "--scale", "X2",
+        "--model", "unet2d", "--base_channels", "4", "--depth", "1",
+        "--epochs", "1", "--batch_size", "4", "--patch_size", "32",
+        "--workdir", str(tmp),
+    ])
+    return str(tmp / "best_X2")
+
+
+@pytest.fixture()
+def server(ckpt):
+    from tpu_superresolution_tpu.cli.serve import SRService, make_server
+
+    service = SRService(ckpt, "unet2d", None, None, -1, 4, 2)
+    srv = make_server(service, "127.0.0.1", 0)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_address[1]}", service
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def _png_bytes(arr):
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_serve_upscale_and_health(server):
+    base, service = server
+    rng = np.random.default_rng(0)
+    body = _png_bytes((rng.random((20, 24)) * 255).astype(np.uint8))
+
+    req = urllib.request.Request(f"{base}/upscale", data=body, method="POST")
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        assert resp.status == 200
+        meta = json.loads(resp.headers["X-SR-Meta"])
+        out = resp.read()
+    assert meta["out_shape"] == [40, 48]
+    with Image.open(io.BytesIO(out)) as sr:
+        assert sr.size == (48, 40)
+
+    # same shape again: served from the compiled cache
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        assert resp.status == 200
+
+    with urllib.request.urlopen(f"{base}/healthz", timeout=30) as resp:
+        health = json.loads(resp.read())
+    assert health["model"] == "unet2d"
+    assert health["scale"] == 2
+    assert health["served"] == 2
+
+
+def test_serve_tile_override_and_errors(server):
+    base, service = server
+    rng = np.random.default_rng(1)
+    body = _png_bytes((rng.random((24, 24)) * 255).astype(np.uint8))
+
+    req = urllib.request.Request(
+        f"{base}/upscale?tile=16&overlap=4", data=body, method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        meta = json.loads(resp.headers["X-SR-Meta"])
+    assert meta["tile"] == 16
+
+    bad = urllib.request.Request(
+        f"{base}/upscale", data=b"not an image", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(bad, timeout=30)
+    assert ei.value.code == 400
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(f"{base}/nope", timeout=30)
+    assert ei.value.code == 404
