@@ -468,3 +468,32 @@ class TestConvHaloGeneral:
             fu.CONV_IMPL = orig
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
+
+
+def test_persistent_compile_cache_optin(tmp_path, monkeypatch, capsys):
+    """TPU_SR_COMPILE_CACHE turns on jax's persistent compilation cache;
+    unset leaves the config untouched."""
+    import jax
+
+    from tpu_superresolution_tpu.cli.common import (
+        enable_persistent_compile_cache,
+    )
+
+    monkeypatch.delenv("TPU_SR_COMPILE_CACHE", raising=False)
+    assert enable_persistent_compile_cache() is None
+
+    cache = tmp_path / "xla_cache"
+    monkeypatch.setenv("TPU_SR_COMPILE_CACHE", str(cache))
+    assert enable_persistent_compile_cache() == str(cache)
+    assert cache.is_dir()
+    assert jax.config.jax_compilation_cache_dir == str(cache)
+    # populate: a fresh compile must land an entry in the directory
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    import numpy as np
+
+    x = jnp.asarray(np.random.default_rng(0).random((64, 64), np.float32))
+    jax.jit(lambda a: jnp.cos(a) @ a)(x).block_until_ready()
+    assert len(list(cache.iterdir())) >= 1
+    jax.config.update("jax_compilation_cache_dir", None)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
