@@ -113,6 +113,8 @@ class Evaluator:
         out_pixels = 0
         t0 = time.time()
         compile_t = 0.0
+        flops_by_shape: Dict[tuple, float] = {}
+        total_flops = 0.0
         idx = 0
         for lr_np, hr_np in loader:
             lr = jnp.asarray(lr_np)
@@ -129,6 +131,19 @@ class Evaluator:
                 compile_t = time.time() - tc
             else:
                 out = fwd(lr)
+
+            # exact compiled-program FLOPs per batch shape (XLA cost
+            # analysis — covers tiling/sharding); feeds the MFU line on
+            # TPU (speed-of-light self-reporting, reference flops()
+            # habit: network_swinir.py:842-851)
+            if lr.shape not in flops_by_shape:
+                try:
+                    from tpu_superresolution_tpu.utils.flops import xla_flops
+
+                    flops_by_shape[lr.shape] = xla_flops(fwd, lr)
+                except Exception:
+                    flops_by_shape[lr.shape] = 0.0
+            total_flops += flops_by_shape[lr.shape]
 
             # non-finite raise with stats (evaluate.py:172-178)
             out_np = np.asarray(out)
@@ -183,6 +198,12 @@ class Evaluator:
             "compile_s": compile_t,
             "mpix_per_s": out_pixels / 1e6 / steady,
         }
+        if total_flops and jax.default_backend() == "tpu":
+            from tpu_superresolution_tpu.utils.flops import mfu
+
+            # whole-eval-loop MFU (metrics/IO included) — a lower bound
+            # on the model's own utilization
+            results["mfu"] = round(mfu(total_flops, steady), 4)
         self.log(
             f"[done] n={results['n']} PSNR {results['psnr']:.2f} dB | "
             f"SSIM {results['ssim']:.4f} | {wall:.1f}s "
