@@ -26,10 +26,7 @@ import json
 import threading
 import time
 
-from tpu_superresolution_tpu.cli.upscale import (
-    AUTO_TILE,
-    AUTO_TILE_MIN_EDGE,
-)
+from tpu_superresolution_tpu.cli.upscale import auto_tile, load_for_inference
 
 
 class SRService:
@@ -37,22 +34,10 @@ class SRService:
 
     def __init__(self, ckpt, model_name, scale_arg, exact, tile, overlap,
                  tile_batch):
-        from tpu_superresolution_tpu.cli.evaluate import load_any_checkpoint
-
-        is_torch = ckpt.endswith((".pt", ".pth"))
-        if is_torch and scale_arg is None:
-            raise SystemExit(
-                "--scale is required for torch .pt/.pth checkpoints"
-            )
-        scale_int = int(scale_arg[1:]) if scale_arg else 0
-        self.mcfg, self.model, self.variables = load_any_checkpoint(
-            ckpt, model_name, scale_int, exact=exact
+        (self.mcfg, self.model, self.variables, self.scale,
+         self.convention, self.channels) = load_for_inference(
+            ckpt, model_name, scale_arg, exact
         )
-        self.scale = self.mcfg.scale
-        self.convention = (
-            "native_lr" if self.mcfg.upsamples_internally else "pre_upscale"
-        )
-        self.channels = self.mcfg.in_channels
         self.tile, self.overlap, self.tile_batch = tile, overlap, tile_batch
         self._fwd_cache = {}
         self._lock = threading.Lock()
@@ -80,9 +65,9 @@ class SRService:
         """Encoded image bytes -> (PNG bytes, meta dict)."""
         import jax.numpy as jnp
         import numpy as np
-        from PIL import Image
 
         from tpu_superresolution_tpu.data.decode import decode_image
+        from tpu_superresolution_tpu.evaluate.runner import tensor_to_pil
 
         img = decode_image(
             io.BytesIO(image_bytes),
@@ -93,7 +78,7 @@ class SRService:
         t = self.tile if tile is None else tile
         ov = self.overlap if overlap is None else overlap
         if t < 0:
-            t = AUTO_TILE if max(h, w) > AUTO_TILE_MIN_EDGE else 0
+            t = auto_tile(h, w)
         with self._lock:
             fwd = self._forward_for(t, ov)
             t0 = time.time()
@@ -101,15 +86,8 @@ class SRService:
             sr.block_until_ready()
             dt = time.time() - t0
             self.n_served += 1
-        arr = np.clip(np.asarray(sr, np.float32), 0.0, 1.0)
-        arr = (arr * 255.0 + 0.5).astype(np.uint8)
-        pil = (
-            Image.fromarray(arr[..., 0], mode="L")
-            if arr.shape[-1] == 1
-            else Image.fromarray(arr, mode="RGB")
-        )
         buf = io.BytesIO()
-        pil.save(buf, format="PNG")
+        tensor_to_pil(np.asarray(sr)).save(buf, format="PNG")
         meta = {
             "in_shape": [h, w],
             "out_shape": [h * self.scale, w * self.scale],

@@ -27,6 +27,44 @@ AUTO_OVERLAP = 16
 AUTO_TILE_BATCH = 8
 
 
+def auto_tile(h: int, w: int) -> int:
+    """0 (whole image) below the long-edge threshold, else the measured
+    production tile."""
+    return AUTO_TILE if max(h, w) > AUTO_TILE_MIN_EDGE else 0
+
+
+def load_for_inference(ckpt: str, model_name: str, scale_arg, exact):
+    """Shared upscale/serve checkpoint loading with clear errors:
+    returns (mcfg, model, variables, scale, convention, channels).
+    `scale_arg` is the CLI's 'X2'/'X4'/None."""
+    from tpu_superresolution_tpu.cli.evaluate import load_any_checkpoint
+
+    is_torch = ckpt.endswith((".pt", ".pth"))
+    if is_torch and scale_arg is None:
+        raise SystemExit("--scale is required for torch .pt/.pth checkpoints")
+    if not is_torch:
+        from tpu_superresolution_tpu.train.checkpoint import (
+            model_config_from_checkpoint,
+        )
+
+        if model_config_from_checkpoint(ckpt) is None:
+            raise SystemExit(
+                f"{ckpt}: checkpoint carries no embedded model "
+                "config — cannot infer the architecture to build"
+            )
+    scale_int = int(scale_arg[1:]) if scale_arg else 0
+    mcfg, model, variables = load_any_checkpoint(
+        ckpt, model_name, scale_int, exact=exact
+    )
+    if scale_arg and mcfg.scale != scale_int:
+        raise SystemExit(
+            f"checkpoint is X{mcfg.scale} but --scale {scale_arg} was given"
+        )
+    convention = "native_lr" if mcfg.upsamples_internally else "pre_upscale"
+    return (mcfg, model, variables, mcfg.scale, convention,
+            mcfg.in_channels)
+
+
 def build_argparser():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--image", type=str, nargs="+", required=True,
@@ -70,7 +108,6 @@ def main(argv=None):
     args = build_argparser().parse_args(argv)
 
     from tpu_superresolution_tpu.cli.common import report_devices
-    from tpu_superresolution_tpu.cli.evaluate import load_any_checkpoint
     from tpu_superresolution_tpu.core.config import EvalConfig
     from tpu_superresolution_tpu.data.decode import decode_image
     from tpu_superresolution_tpu.evaluate.runner import (
@@ -79,30 +116,9 @@ def main(argv=None):
     )
 
     report_devices()
-    is_torch = args.ckpt.endswith((".pt", ".pth"))
-    if is_torch and args.scale is None:
-        raise SystemExit("--scale is required for torch .pt/.pth checkpoints")
-    if not is_torch:
-        from tpu_superresolution_tpu.train.checkpoint import (
-            model_config_from_checkpoint,
-        )
-
-        if model_config_from_checkpoint(args.ckpt) is None:
-            raise SystemExit(
-                f"{args.ckpt}: checkpoint carries no embedded model "
-                "config — cannot infer the architecture to build"
-            )
-    scale_int = int(args.scale[1:]) if args.scale else 0
-    mcfg, model, variables = load_any_checkpoint(
-        args.ckpt, args.model, scale_int, exact=args.exact
+    mcfg, model, variables, scale, convention, channels = load_for_inference(
+        args.ckpt, args.model, args.scale, args.exact
     )
-    scale = mcfg.scale
-    if args.scale and scale != scale_int:
-        raise SystemExit(
-            f"checkpoint is X{scale} but --scale {args.scale} was given"
-        )
-    convention = "native_lr" if mcfg.upsamples_internally else "pre_upscale"
-    channels = mcfg.in_channels
     print(f"[ckpt] {args.ckpt}: model={mcfg.name} scale=X{scale}")
 
     outs = []
@@ -147,11 +163,7 @@ def main(argv=None):
         p = Path(path)
         img = decode_image(p, grayscale=channels == 1, channels=channels)
         h, w = img.shape[:2]
-        tile = args.tile
-        if tile < 0:
-            # gate on the LONG edge: an elongated image blows compile
-            # time/HBM just as much as a square one
-            tile = AUTO_TILE if max(h, w) > AUTO_TILE_MIN_EDGE else 0
+        tile = args.tile if args.tile >= 0 else auto_tile(h, w)
         fwd = forward_for(tile)
         t0 = time.time()
         sr = fwd(jnp.asarray(img)[None])[0]

@@ -27,9 +27,9 @@ from tpu_superresolution_tpu.ops.metrics import batch_psnr, psnr, ssim
 from tpu_superresolution_tpu.ops.resize import resize_bilinear
 
 
-def save_tensor_as_png(x: np.ndarray, path, per_image_rescale: bool = False):
-    """[H, W, C] float -> PNG (evaluate.py:31-51 semantics: min-max
-    rescale option, else clamp to [0,1])."""
+def tensor_to_pil(x: np.ndarray, per_image_rescale: bool = False):
+    """[H, W, C] float -> PIL image (evaluate.py:31-51 semantics:
+    min-max rescale option, else clamp to [0,1])."""
     from PIL import Image
 
     x = np.asarray(x, dtype=np.float32)
@@ -40,9 +40,12 @@ def save_tensor_as_png(x: np.ndarray, path, per_image_rescale: bool = False):
         x = np.clip(x, 0.0, 1.0)
     arr = (x * 255.0 + 0.5).astype(np.uint8)
     if arr.shape[-1] == 1:
-        Image.fromarray(arr[..., 0], mode="L").save(str(path))
-    else:
-        Image.fromarray(arr, mode="RGB").save(str(path))
+        return Image.fromarray(arr[..., 0], mode="L")
+    return Image.fromarray(arr, mode="RGB")
+
+
+def save_tensor_as_png(x: np.ndarray, path, per_image_rescale: bool = False):
+    tensor_to_pil(x, per_image_rescale).save(str(path))
 
 
 def _save_decision(i: int, cfg: EvalConfig) -> bool:
