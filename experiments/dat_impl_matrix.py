@@ -6,8 +6,7 @@ import jax, jax.numpy as jnp, numpy as np
 print("backend:", jax.default_backend(), flush=True)
 
 import tpu_superresolution_tpu.models.blocks as blocks
-import tpu_superresolution_tpu.ops.pallas.layernorm as lnmod
-from tpu_superresolution_tpu.ops.pallas.fused_block import _ln
+import tpu_superresolution_tpu.models.dat as datmod
 from tpu_superresolution_tpu.core.config import DATConfig, build_model
 
 rng = np.random.default_rng(0)
@@ -15,24 +14,18 @@ x = jnp.asarray(rng.random((1, 256, 256, 3), np.float32))
 model = build_model(DATConfig(scale=4), dtype=jnp.bfloat16)
 v = model.init(jax.random.key(0), x[:, :64, :64], train=False)
 
-orig_ln = lnmod.layernorm_spatial
-
-def xla_ln(x, scale, bias, interpret=None):
-    dt = x.dtype
-    return _ln(x.astype(jnp.float32), scale.astype(jnp.float32),
-               bias.astype(jnp.float32)).astype(dt)
-
-# (tag, ln_fn, dw_impl, conv_impl)
+# (tag, ln_impl, dw_impl, conv_impl) — base = round-2 measured config
+# (dat.LN_IMPL "xla" default; 136.4 ms round 2 vs 206.8 with Pallas LNs)
 cases = [
-    ("base(plnl,dwxla,cxla)", orig_ln, "xla", "xla"),
-    ("ln=xla",                xla_ln,  "xla", "xla"),
-    ("dw=halo",               orig_ln, "halo", "xla"),
-    ("conv=gemm",             orig_ln, "xla", "gemm"),
-    ("conv=halo",             orig_ln, "xla", "halo"),
+    ("base(lnxla,dwxla,cxla)", "xla", "xla", "xla"),
+    ("ln=pallas",              None,  "xla", "xla"),
+    ("dw=halo",                "xla", "halo", "xla"),
+    ("conv=gemm",              "xla", "xla", "gemm"),
+    ("conv=halo",              "xla", "xla", "halo"),
 ]
 fns, outs = {}, {}
-for tag, ln_fn, dw, cv in cases:
-    lnmod.layernorm_spatial = ln_fn
+for tag, ln, dw, cv in cases:
+    datmod.LN_IMPL = ln
     blocks.DWCONV3X3_IMPL = dw
     blocks.CONV3X3_IMPL = cv
     fn = jax.jit(lambda b, model=model, v=v: model.apply(v, b, train=False))
@@ -44,7 +37,7 @@ for tag, ln_fn, dw, cv in cases:
         continue
     print(f"[compile] {tag}: {time.time()-t0:.0f}s", flush=True)
     fns[tag] = fn; outs[tag] = np.asarray(o, np.float32)
-lnmod.layernorm_spatial = orig_ln
+datmod.LN_IMPL = "xla"
 blocks.DWCONV3X3_IMPL = "xla"
 blocks.CONV3X3_IMPL = "xla"
 base = outs.get(cases[0][0])

@@ -54,6 +54,20 @@ Dtype = Any
 _TRUNC02 = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
 _LN_EPS = 1e-5
 
+# LayerNorm impl for every DAT LN site.  "xla" is the round-2 measured
+# configuration (136.4 ms whole-forward at 256^2); the blanket Pallas-LN
+# swap that helped HAT re-measured DAT at 206.8 ms (PARITY.md round-3
+# session 2) — DAT's blocks are pure-XLA jnp einsums and the separate
+# Pallas calls break XLA's elementwise fusion around them.  The queued
+# experiments/dat_impl_matrix.py A/B flips this global to re-test
+# "pallas" on chip; flip the default only with a measured win.
+LN_IMPL = "xla"
+
+
+def _pln(dtype, name):
+    """DAT-local PLayerNorm bound to the module-global LN_IMPL."""
+    return PLayerNorm(dtype=dtype, impl=LN_IMPL, name=name)
+
 
 def _rpe_biases(hsp: int, wsp: int) -> np.ndarray:
     """Mother set of (dh, dw) offsets, [(2hsp-1)*(2wsp-1), 2] float32
@@ -81,7 +95,7 @@ class DynamicPosBias(nn.Module):
             # coordinate tensor ~180x per forward; layernorm_spatial's
             # sub-4k-row gate keeps them on the fusable jnp formula
             # (a Pallas launch each would be pure dispatch overhead).
-            x = PLayerNorm(dtype=self.dtype, name=f"pos{i}_norm")(x)
+            x = _pln(self.dtype, name=f"pos{i}_norm")(x)
             x = nn.relu(x)
             x = nn.Dense(feat, kernel_init=_TRUNC02, dtype=self.dtype,
                          name=f"pos{i}_fc")(x)
@@ -345,7 +359,7 @@ class SGFN(nn.Module):
         x = nn.gelu(x, approximate=False)
         half = self.hidden // 2
         x1, x2 = x[..., :half], x[..., half:]
-        x2 = PLayerNorm(dtype=self.dtype, name="sg_norm")(x2)
+        x2 = _pln(self.dtype, name="sg_norm")(x2)
         x2 = DWConv3x3(half, dtype=self.dtype, name="sg_conv")(x2)
         x = x1 * x2
         return nn.Dense(self.out_features, kernel_init=_TRUNC02, dtype=self.dtype,
@@ -374,7 +388,7 @@ class DATB(nn.Module):
         )
         # stochastic depth on both residuals (dat_arch.py:562-563)
         use_dp = train and self.drop_path_rate > 0
-        y = PLayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = _pln(self.dtype, name="norm1")(x)
         if j % 2 == 0:
             y = AdaptiveSpatialAttention(
                 self.dim, self.num_heads, self.split_size, self.qkv_bias,
@@ -386,7 +400,7 @@ class DATB(nn.Module):
             )(y, train)
         rng = self.make_rng("drop_path") if use_dp else None
         x = x + drop_path(y, self.drop_path_rate, rng is None, rng)
-        y = PLayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = _pln(self.dtype, name="norm2")(x)
         y = SGFN(int(self.dim * self.expansion_factor), self.dim, self.dtype,
                  name="ffn")(y)
         rng2 = self.make_rng("drop_path") if use_dp else None
@@ -453,7 +467,7 @@ class DAT(nn.Module):
                     impl=_blocks.CONV3X3_INPUT_IMPL, name="conv_first")(x)
 
         # before_RG: LayerNorm on channels (dat_arch.py:765-768)
-        feats = PLayerNorm(dtype=dt, name="before_RG_norm")(x)
+        feats = _pln(dt, name="before_RG_norm")(x)
         # stochastic depth decay rule (dat_arch.py:771)
         dpr = [float(r) for r in np.linspace(0, cfg.drop_path_rate, sum(cfg.depths))]
         start = 0
@@ -466,7 +480,7 @@ class DAT(nn.Module):
                 name=f"layers_{i}",
             )(feats, train)
             start += depth
-        feats = PLayerNorm(dtype=dt, name="norm")(feats)
+        feats = _pln(dt, name="norm")(feats)
         if cfg.resi_connection == "1conv":
             feats = Conv3x3(cfg.embed_dim, dtype=dt, name="conv_after_body")(feats)
         else:
