@@ -223,6 +223,47 @@ def test_sharded_tiled_matches_direct(rng):
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(direct), atol=1e-5)
 
 
+def test_tiled_forward_overlap_ge_tile_raises(rng):
+    """A user-supplied overlap >= tile is an error (stride-1 grid
+    explosion otherwise); the clamp applies only when the tile itself
+    was clamped by a short image edge."""
+    fn = _shift_invariant_fn(2)
+    x = jnp.asarray(rng.random((1, 64, 64, 1), dtype=np.float32))
+    with pytest.raises(ValueError, match="overlap"):
+        tiled_forward(fn, x, 2, tile=16, overlap=16)
+    from tpu_superresolution_tpu.evaluate.tiling import sharded_tiled_forward
+    from tpu_superresolution_tpu.parallel import make_mesh
+
+    with pytest.raises(ValueError, match="overlap"):
+        sharded_tiled_forward(fn, x, 2, 16, 16, make_mesh(8))
+    # edge-clamped tile still clamps the overlap instead of raising
+    narrow = jnp.asarray(rng.random((1, 8, 64, 1), dtype=np.float32))
+    out = tiled_forward(fn, narrow, 2, tile=16, overlap=16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(fn(narrow)), atol=1e-5)
+
+
+def test_sharded_tiled_max_tile_batch_matches_unchunked(rng):
+    """Per-chip tile-batch chunking in the sharded path == unchunked."""
+    import jax
+    from tpu_superresolution_tpu.evaluate.tiling import sharded_tiled_forward
+    from tpu_superresolution_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8)
+    fn = _shift_invariant_fn(2)
+    x = jnp.asarray(rng.random((1, 96, 96, 1), dtype=np.float32))
+    unchunked = jax.jit(
+        lambda x: sharded_tiled_forward(fn, x, 2, 32, 8, mesh)
+    )(x)
+    chunked = jax.jit(
+        lambda x: sharded_tiled_forward(
+            fn, x, 2, 32, 8, mesh, max_tile_batch=1
+        )
+    )(x)
+    np.testing.assert_allclose(
+        np.asarray(chunked), np.asarray(unchunked), atol=1e-5
+    )
+
+
 def test_sharded_tiled_model(rng):
     """Real Flax model through make_sharded_tiled_apply on the CPU mesh."""
     import jax

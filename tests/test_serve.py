@@ -97,3 +97,22 @@ def test_serve_tile_override_and_errors(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(f"{base}/nope", timeout=30)
     assert ei.value.code == 404
+
+
+def test_serve_rejects_hostile_tiling(server):
+    """Client tile/overlap outside the allowlisted bounds (or an
+    overlap >= tile stride-1 grid) is a 400, not a chip-holding
+    compile; the forward cache stays bounded."""
+    base, service = server
+    rng = np.random.default_rng(2)
+    body = _png_bytes((rng.random((24, 24)) * 255).astype(np.uint8))
+
+    for query in ("tile=7", "tile=4096", "overlap=999", "tile=16&overlap=16"):
+        req = urllib.request.Request(
+            f"{base}/upscale?{query}", data=body, method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400, query
+
+    assert service._fwd_cache.max_entries <= 8

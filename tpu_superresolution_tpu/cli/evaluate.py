@@ -14,7 +14,7 @@ from __future__ import annotations
 import argparse
 
 from tpu_superresolution_tpu.cli.common import report_devices, resolve_workers
-from tpu_superresolution_tpu.core.config import EvalConfig, MSResUNetConfig, build_model
+from tpu_superresolution_tpu.core.config import EvalConfig, build_model
 from tpu_superresolution_tpu.data import Loader, PairedIndex
 from tpu_superresolution_tpu.evaluate.baseline import bicubic_baseline
 from tpu_superresolution_tpu.evaluate.runner import Evaluator
@@ -77,7 +77,16 @@ def load_any_checkpoint(ckpt: str, model_name: str, scale_int: int,
         model_config_from_checkpoint,
     )
 
-    mcfg = model_config_from_checkpoint(ckpt) or MSResUNetConfig(scale=scale_int)
+    mcfg = model_config_from_checkpoint(ckpt)
+    if mcfg is None:
+        # config-less checkpoint (e.g. produced outside the train CLI):
+        # fall back to the default architecture named by --model at
+        # --scale, matching the torch-checkpoint convention
+        from tpu_superresolution_tpu import models as _models  # noqa: F401
+        from tpu_superresolution_tpu.core.config import model_registry
+
+        config_cls, _ = model_registry[model_name]
+        mcfg = config_cls(scale=scale_int)
     if exact:
         import dataclasses
 
@@ -102,10 +111,10 @@ def build_argparser():
     ap.add_argument("--batch_size", type=int, default=4)
     ap.add_argument("--workers", type=int, default=None)
     ap.add_argument("--model", type=str, default="ms_resunet",
-                    choices=["ms_resunet", "swinir", "hat", "dat"],
-                    help="architecture for torch .pt/.pth checkpoints "
-                         "(Orbax checkpoints carry their config and "
-                         "ignore this)")
+                    choices=["ms_resunet", "unet2d", "swinir", "hat", "dat"],
+                    help="architecture for torch .pt/.pth or config-less "
+                         "checkpoints (Orbax checkpoints carry their "
+                         "config and ignore this)")
     ap.add_argument("--ckpt", type=str, required=True,
                     help="Orbax checkpoint dir (from the train CLI)")
     ap.add_argument("--save_dir", type=str, default="preds")
@@ -161,7 +170,12 @@ def main(argv=None):
             model_config_from_checkpoint,
         )
 
-        mcfg = model_config_from_checkpoint(args.ckpt) or MSResUNetConfig(scale=scale_int)
+        mcfg = model_config_from_checkpoint(args.ckpt)
+        if mcfg is None:  # config-less checkpoint: default --model arch
+            from tpu_superresolution_tpu import models as _models  # noqa: F401
+            from tpu_superresolution_tpu.core.config import model_registry
+
+            mcfg = model_registry[args.model][0](scale=scale_int)
         # Framework checkpoints are evaluated with the semantics they
         # were TRAINED with (the config embedded in the checkpoint): a
         # model trained through the fused-reconstruction path learns its

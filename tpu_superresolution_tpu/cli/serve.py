@@ -26,7 +26,29 @@ import json
 import threading
 import time
 
-from tpu_superresolution_tpu.cli.upscale import auto_tile, load_for_inference
+from tpu_superresolution_tpu.cli.upscale import (
+    ForwardCache,
+    auto_tile,
+    load_for_inference,
+)
+
+# Bounds on client-supplied ?tile=N&overlap=M — every novel value
+# compiles a fresh program on the chip while holding the serving lock,
+# so arbitrary values are a trivial denial-of-service.
+MAX_TILE = 512
+MIN_TILE = 16
+MAX_OVERLAP = 64
+
+
+def _validate_tiling(tile, overlap):
+    """Reject client tiling configs outside sane production bounds
+    (tile -1 = auto and 0 = whole image stay allowed)."""
+    if tile is not None and tile > 0 and not MIN_TILE <= tile <= MAX_TILE:
+        raise ValueError(
+            f"tile must be 0 (whole image) or in [{MIN_TILE}, {MAX_TILE}]"
+        )
+    if overlap is not None and not 0 <= overlap <= MAX_OVERLAP:
+        raise ValueError(f"overlap must be in [0, {MAX_OVERLAP}]")
 
 
 class SRService:
@@ -38,28 +60,13 @@ class SRService:
          self.convention, self.channels) = load_for_inference(
             ckpt, model_name, scale_arg, exact
         )
-        self.tile, self.overlap, self.tile_batch = tile, overlap, tile_batch
-        self._fwd_cache = {}
+        self.tile, self.overlap = tile, overlap
+        self._fwd_cache = ForwardCache(
+            self.model, self.variables, self.scale, self.convention,
+            tile_batch,
+        )
         self._lock = threading.Lock()
         self.n_served = 0
-
-    def _forward_for(self, tile, overlap):
-        from tpu_superresolution_tpu.core.config import EvalConfig
-        from tpu_superresolution_tpu.evaluate.runner import Evaluator
-
-        key = (tile, overlap)
-        if key not in self._fwd_cache:
-            ecfg = EvalConfig(
-                batch_size=1,
-                tile_size=tile or None,
-                tile_overlap=overlap,
-                max_tile_batch=self.tile_batch or None,
-            )
-            self._fwd_cache[key] = Evaluator(
-                self.model, self.variables, self.scale, self.convention,
-                ecfg,
-            ).forward_fn()
-        return self._fwd_cache[key]
 
     def serve(self, image_bytes, tile=None, overlap=None):
         """Encoded image bytes -> (PNG bytes, meta dict)."""
@@ -69,6 +76,7 @@ class SRService:
         from tpu_superresolution_tpu.data.decode import decode_image
         from tpu_superresolution_tpu.evaluate.runner import tensor_to_pil
 
+        _validate_tiling(tile, overlap)
         img = decode_image(
             io.BytesIO(image_bytes),
             grayscale=self.channels == 1,
@@ -80,7 +88,7 @@ class SRService:
         if t < 0:
             t = auto_tile(h, w)
         with self._lock:
-            fwd = self._forward_for(t, ov)
+            fwd = self._fwd_cache.get(t, ov)
             t0 = time.time()
             sr = fwd(jnp.asarray(img)[None])[0]
             sr.block_until_ready()
@@ -155,8 +163,9 @@ def build_argparser():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--ckpt", type=str, required=True)
     ap.add_argument("--model", type=str, default="ms_resunet",
-                    choices=["ms_resunet", "swinir", "hat", "dat"],
-                    help="architecture for torch .pt/.pth checkpoints")
+                    choices=["ms_resunet", "unet2d", "swinir", "hat", "dat"],
+                    help="architecture for torch .pt/.pth or config-less "
+                         "checkpoints")
     ap.add_argument("--scale", type=str, choices=["X2", "X4"], default=None)
     ap.add_argument("--host", type=str, default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8008)

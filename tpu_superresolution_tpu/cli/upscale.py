@@ -47,10 +47,11 @@ def load_for_inference(ckpt: str, model_name: str, scale_arg, exact):
             model_config_from_checkpoint,
         )
 
-        if model_config_from_checkpoint(ckpt) is None:
+        if model_config_from_checkpoint(ckpt) is None and scale_arg is None:
             raise SystemExit(
-                f"{ckpt}: checkpoint carries no embedded model "
-                "config — cannot infer the architecture to build"
+                f"{ckpt}: checkpoint carries no embedded model config — "
+                "pass --scale (and --model for non-default architectures) "
+                "to load it as a default-architecture checkpoint"
             )
     scale_int = int(scale_arg[1:]) if scale_arg else 0
     mcfg, model, variables = load_any_checkpoint(
@@ -65,6 +66,47 @@ def load_for_inference(ckpt: str, model_name: str, scale_arg, exact):
             mcfg.in_channels)
 
 
+class ForwardCache:
+    """Per-(tile, overlap) jitted whole-image forwards sharing one
+    loaded model (used by this CLI and cli/serve.py).  jit's
+    shape-keyed cache reuses compiles across same-sized inputs; the
+    per-config cache itself is FIFO-bounded so client-driven tiling
+    configs (serve's ?tile=N) can't grow it without bound."""
+
+    def __init__(self, model, variables, scale, convention, tile_batch,
+                 mesh=None, max_entries=8):
+        self.model, self.variables = model, variables
+        self.scale, self.convention = scale, convention
+        self.tile_batch, self.mesh = tile_batch, mesh
+        self.max_entries = max_entries
+        self._cache = {}
+
+    def get(self, tile, overlap):
+        from tpu_superresolution_tpu.core.config import EvalConfig
+        from tpu_superresolution_tpu.evaluate.runner import Evaluator
+
+        if not tile and self.mesh is not None:
+            raise SystemExit("--dp requires tiling (the image is below "
+                             "the auto-tile threshold; pass --tile N)")
+        key = (tile, overlap)
+        if key not in self._cache:
+            if len(self._cache) >= self.max_entries:
+                # FIFO evict: dropping the closure frees its compiled
+                # executables with it
+                self._cache.pop(next(iter(self._cache)))
+            ecfg = EvalConfig(
+                batch_size=1,
+                tile_size=tile or None,
+                tile_overlap=overlap,
+                max_tile_batch=self.tile_batch or None,
+            )
+            self._cache[key] = Evaluator(
+                self.model, self.variables, self.scale, self.convention,
+                ecfg, mesh=self.mesh,
+            ).forward_fn()
+        return self._cache[key]
+
+
 def build_argparser():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--image", type=str, nargs="+", required=True,
@@ -73,9 +115,10 @@ def build_argparser():
                     help="Orbax checkpoint dir (train CLI output) or a "
                          "reference torch .pt/.pth")
     ap.add_argument("--model", type=str, default="ms_resunet",
-                    choices=["ms_resunet", "swinir", "hat", "dat"],
-                    help="architecture for torch .pt/.pth checkpoints "
-                         "(Orbax checkpoints carry their config)")
+                    choices=["ms_resunet", "unet2d", "swinir", "hat", "dat"],
+                    help="architecture for torch .pt/.pth or config-less "
+                         "checkpoints (Orbax train-CLI checkpoints carry "
+                         "their config)")
     ap.add_argument("--scale", type=str, choices=["X2", "X4"], default=None,
                     help="required for torch checkpoints; Orbax "
                          "checkpoints carry their scale")
@@ -108,12 +151,8 @@ def main(argv=None):
     args = build_argparser().parse_args(argv)
 
     from tpu_superresolution_tpu.cli.common import report_devices
-    from tpu_superresolution_tpu.core.config import EvalConfig
     from tpu_superresolution_tpu.data.decode import decode_image
-    from tpu_superresolution_tpu.evaluate.runner import (
-        Evaluator,
-        save_tensor_as_png,
-    )
+    from tpu_superresolution_tpu.evaluate.runner import save_tensor_as_png
 
     report_devices()
     mcfg, model, variables, scale, convention, channels = load_for_inference(
@@ -138,25 +177,12 @@ def main(argv=None):
         mesh = make_mesh(args.dp)
         print(f"[dp] sharded tiled inference over {args.dp} devices")
 
-    # One jitted forward per tiling config — jit's shape-keyed cache
-    # then reuses the compile across same-sized images.
-    fwd_cache = {}
+    fwd_cache = ForwardCache(
+        model, variables, scale, convention, args.tile_batch, mesh=mesh
+    )
 
     def forward_for(tile):
-        if not tile and mesh is not None:
-            raise SystemExit("--dp requires tiling (the image is below "
-                             "the auto-tile threshold; pass --tile N)")
-        if tile not in fwd_cache:
-            ecfg = EvalConfig(
-                batch_size=1,
-                tile_size=tile or None,
-                tile_overlap=args.tile_overlap,
-                max_tile_batch=args.tile_batch or None,
-            )
-            fwd_cache[tile] = Evaluator(
-                model, variables, scale, convention, ecfg, mesh=mesh
-            ).forward_fn()
-        return fwd_cache[tile]
+        return fwd_cache.get(tile, args.tile_overlap)
 
     used_names = set()
     for path in args.image:

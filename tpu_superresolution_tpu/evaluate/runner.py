@@ -92,7 +92,8 @@ class Evaluator:
                     )
 
                     out = sharded_tiled_forward(
-                        tile_apply, lr, s, ecfg.tile_size, ecfg.tile_overlap, self.mesh
+                        tile_apply, lr, s, ecfg.tile_size, ecfg.tile_overlap,
+                        self.mesh, max_tile_batch=ecfg.max_tile_batch,
                     )
                 else:
                     out = tiled_forward(
@@ -116,8 +117,10 @@ class Evaluator:
         out_pixels = 0
         t0 = time.time()
         compile_t = 0.0
-        flops_by_shape: Dict[tuple, float] = {}
-        total_flops = 0.0
+        # batch shapes seen -> (dtype, count); FLOPs are computed AFTER
+        # the loop so XLA cost-analysis compiles never pollute the
+        # steady-time metrics (mpix_per_s, mfu)
+        shape_counts: Dict[tuple, list] = {}
         idx = 0
         for lr_np, hr_np in loader:
             lr = jnp.asarray(lr_np)
@@ -129,24 +132,17 @@ class Evaluator:
                     f"| shapes: {tuple(lr_np.shape)} {tuple(hr_np.shape)}"
                 )
                 peeked = True
+            if lr.shape not in shape_counts:
+                # first call at a new batch shape jit-compiles: time it
+                # separately so every per-shape compile is excluded from
+                # steady time, not just the first
+                shape_counts[lr.shape] = [lr.dtype, 0]
                 tc = time.time()
                 out = jax.block_until_ready(fwd(lr))
-                compile_t = time.time() - tc
+                compile_t += time.time() - tc
             else:
                 out = fwd(lr)
-
-            # exact compiled-program FLOPs per batch shape (XLA cost
-            # analysis — covers tiling/sharding); feeds the MFU line on
-            # TPU (speed-of-light self-reporting, reference flops()
-            # habit: network_swinir.py:842-851)
-            if lr.shape not in flops_by_shape:
-                try:
-                    from tpu_superresolution_tpu.utils.flops import xla_flops
-
-                    flops_by_shape[lr.shape] = xla_flops(fwd, lr)
-                except Exception:
-                    flops_by_shape[lr.shape] = 0.0
-            total_flops += flops_by_shape[lr.shape]
+            shape_counts[lr.shape][1] += 1
 
             # non-finite raise with stats (evaluate.py:172-178)
             out_np = np.asarray(out)
@@ -201,12 +197,26 @@ class Evaluator:
             "compile_s": compile_t,
             "mpix_per_s": out_pixels / 1e6 / steady,
         }
-        if total_flops and jax.default_backend() == "tpu":
-            from tpu_superresolution_tpu.utils.flops import mfu
+        if jax.default_backend() == "tpu":
+            # exact compiled-program FLOPs per batch shape (XLA cost
+            # analysis over ShapeDtypeStructs — covers tiling/sharding);
+            # feeds the MFU line (speed-of-light self-reporting,
+            # reference flops() habit: network_swinir.py:842-851).
+            # Computed here, outside the timing window, and only on TPU
+            # where mfu is reported.
+            try:
+                from tpu_superresolution_tpu.utils.flops import mfu, xla_flops
 
-            # whole-eval-loop MFU (metrics/IO included) — a lower bound
-            # on the model's own utilization
-            results["mfu"] = round(mfu(total_flops, steady), 4)
+                total_flops = sum(
+                    xla_flops(fwd, jax.ShapeDtypeStruct(shape, dt)) * cnt
+                    for shape, (dt, cnt) in shape_counts.items()
+                )
+                if total_flops:
+                    # whole-eval-loop MFU (metrics/IO included) — a lower
+                    # bound on the model's own utilization
+                    results["mfu"] = round(mfu(total_flops, steady), 4)
+            except Exception:
+                pass
         self.log(
             f"[done] n={results['n']} PSNR {results['psnr']:.2f} dB | "
             f"SSIM {results['ssim']:.4f} | {wall:.1f}s "

@@ -75,7 +75,10 @@ def tiled_forward(
     # < tile <= long edge) leaves uncovered strips between tile starts
     # (zero blend weight -> NaN).
     t = min(tile, h, w)
-    ov = min(overlap, t - 1) if t > 1 else 0
+    # overlap is clamped only when the tile itself was clamped by a
+    # short image edge (the narrow-image fix); a user-supplied
+    # overlap >= tile still surfaces tile_grid's ValueError.
+    ov = (min(overlap, t - 1) if t > 1 else 0) if t < tile else overlap
     ys = tile_grid(h, t, ov)
     xs = tile_grid(w, t, ov)
 
@@ -145,6 +148,7 @@ def sharded_tiled_forward(
     overlap: int,
     mesh,
     axis_name: str = "dp",
+    max_tile_batch: Optional[int] = None,
 ) -> jnp.ndarray:
     """Multi-chip tiled inference: the spatial domain sharded across the
     mesh (SURVEY.md §2.4's SR-domain context parallelism).
@@ -156,6 +160,12 @@ def sharded_tiled_forward(
     multiple of the mesh size with dummy tiles that are dropped after
     the gather — shapes stay static for any grid.
 
+    `max_tile_batch` bounds each chip's PER-CALL tile batch (the same
+    HBM bound as tiled_forward's, applied per shard): the local shard
+    runs in fixed-size chunks of that many tiles (last chunk padded by
+    wrapping), so one model subgraph compiles and buffers are reused
+    sequentially.
+
     Call under jit with `mesh` bound (the returned fn is already jit'd
     by make_sharded_tiled_apply).
     """
@@ -165,7 +175,10 @@ def sharded_tiled_forward(
     b, h, w, c = x.shape
     # clamped-tile grids: see tiled_forward (NaN strips otherwise)
     t = min(tile, h, w)
-    ov = min(overlap, t - 1) if t > 1 else 0
+    # overlap is clamped only when the tile itself was clamped by a
+    # short image edge (the narrow-image fix); a user-supplied
+    # overlap >= tile still surfaces tile_grid's ValueError.
+    ov = (min(overlap, t - 1) if t > 1 else 0) if t < tile else overlap
     ys = tile_grid(h, t, ov)
     xs = tile_grid(w, t, ov)
     n_dev = mesh.shape[axis_name]
@@ -181,7 +194,19 @@ def sharded_tiled_forward(
         batch = jnp.concatenate([batch, jnp.zeros((pad,) + batch.shape[1:], batch.dtype)])
 
     def per_shard(shard):
-        out = apply_fn(shard)
+        s_n = shard.shape[0]
+        if max_tile_batch is not None and 0 < max_tile_batch < s_n:
+            mtb = max_tile_batch
+            p2 = (-s_n) % mtb
+            if p2:
+                shard = jnp.concatenate([shard, shard[:p2]], axis=0)
+            out = jnp.concatenate(
+                [apply_fn(shard[i : i + mtb])
+                 for i in range(0, shard.shape[0], mtb)],
+                axis=0,
+            )[:s_n]
+        else:
+            out = apply_fn(shard)
         return jax.lax.all_gather(out, axis_name, axis=0, tiled=True)
 
     out_tiles = shard_map(
@@ -208,7 +233,9 @@ def sharded_tiled_forward(
     return out / jnp.asarray(wmap, out_tiles.dtype)[None]
 
 
-def make_sharded_tiled_apply(model, variables, scale, tile, overlap, mesh):
+def make_sharded_tiled_apply(
+    model, variables, scale, tile, overlap, mesh, max_tile_batch=None
+):
     """jit'd multi-chip whole-image SR function."""
 
     def tile_fn(batch):
@@ -216,6 +243,9 @@ def make_sharded_tiled_apply(model, variables, scale, tile, overlap, mesh):
 
     @jax.jit
     def run(x):
-        return sharded_tiled_forward(tile_fn, x, scale, tile, overlap, mesh)
+        return sharded_tiled_forward(
+            tile_fn, x, scale, tile, overlap, mesh,
+            max_tile_batch=max_tile_batch,
+        )
 
     return run
