@@ -116,3 +116,19 @@ def test_serve_rejects_hostile_tiling(server):
         assert ei.value.code == 400, query
 
     assert service._fwd_cache.max_entries <= 8
+
+
+def test_forward_cache_fifo_eviction(server):
+    """ForwardCache is FIFO-bounded: novel (tile, overlap) configs
+    beyond max_entries evict the oldest compiled closure instead of
+    growing without bound (serve's ?tile=N is client-controlled)."""
+    _, service = server
+    cache = service._fwd_cache
+    cache._cache.clear()
+    first = (16, 0)
+    cache.get(*first)
+    for t in range(17, 17 + cache.max_entries):
+        cache.get(t, 0)
+    assert len(cache._cache) == cache.max_entries
+    assert first not in cache._cache  # oldest evicted
+    assert (17 + cache.max_entries - 1, 0) in cache._cache
