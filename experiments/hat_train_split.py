@@ -42,6 +42,7 @@ def main():
             @jax.jit
             def f(p):
                 fused_ocab.ENABLE = flag
+                fused_ocab.INFERENCE_FUSED = flag  # train=False below
                 return loss_fn(p)
             return f
 
@@ -49,6 +50,7 @@ def main():
             @jax.jit
             def fb(p):
                 fused_ocab.ENABLE = flag
+                fused_ocab.INFERENCE_FUSED = flag
                 l, g = jax.value_and_grad(loss_fn)(p)
                 return l, jax.tree_util.tree_map(lambda a: jnp.sum(a), g)
             return fb
@@ -73,6 +75,7 @@ def main():
         print(f"{tag:16s} min {min(ts)*1e3:7.2f}  median {sorted(ts)[len(ts)//2]*1e3:7.2f}",
               flush=True)
     fused_ocab.ENABLE = True
+    fused_ocab.INFERENCE_FUSED = False
 
 
 if __name__ == "__main__":

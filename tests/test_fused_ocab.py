@@ -112,9 +112,14 @@ def test_ocab_enable_flag_routes_module_path(rng):
     try:
         fused_ocab.ENABLE = False
         y_module = model.apply(v, x, train=False)
+        # train=False routes unfused by default (measured: fused loses
+        # the inference forward) -> force the fused path for comparison.
+        fused_ocab.ENABLE = True
+        fused_ocab.INFERENCE_FUSED = True
+        y_fused = model.apply(v, x, train=False)
     finally:
         fused_ocab.ENABLE = True
-    y_fused = model.apply(v, x, train=False)
+        fused_ocab.INFERENCE_FUSED = False
     np.testing.assert_allclose(
         np.asarray(y_fused), np.asarray(y_module), atol=3e-5
     )

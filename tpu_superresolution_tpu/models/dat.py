@@ -63,6 +63,16 @@ _LN_EPS = 1e-5
 # "pallas" on chip; flip the default only with a measured win.
 LN_IMPL = "xla"
 
+# Spatial-attention softmax accumulation dtype.  True (default) casts
+# the [B,nW,nh,N,N] score maps to fp32 for the softmax — the dominant
+# HBM term at production shapes (~805 MB of fp32 maps per block,
+# PARITY.md round-3 DAT floor analysis).  False keeps the softmax in
+# the compute dtype (bf16), halving that traffic; the reference itself
+# softmaxes in the attn dtype (dat_arch.py:235), so bf16 is the closer
+# semantic under AMP.  A/B: experiments/dat_bf16_maps_ab.py.  fp32
+# models (parity tests) are unaffected either way.
+SOFTMAX_FP32 = True
+
 
 def _pln(dtype, name):
     """DAT-local PLayerNorm bound to the module-global LN_IMPL."""
@@ -168,7 +178,8 @@ class SpatialAttentionBranch(nn.Module):
         if mask is not None:
             attn = attn + jnp.asarray(mask, attn.dtype)[None, :, None]
         # reference softmaxes in the attn dtype (dat_arch.py:235)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+        sm_dtype = jnp.float32 if SOFTMAX_FP32 else attn.dtype
+        attn = jax.nn.softmax(attn.astype(sm_dtype), axis=-1).astype(q.dtype)
         out = jnp.einsum("bwhqk,bwkhd->bwqhd", attn, vw).reshape(b * nw, n, c)
         return rect_window_reverse(out, hsp, wsp, h, w)
 

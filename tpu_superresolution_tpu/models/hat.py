@@ -409,7 +409,7 @@ class OCAB(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
         b, h, w, c = x.shape
         ws = self.window_size
         ows = int(self.overlap_ratio * ws) + ws
@@ -421,8 +421,11 @@ class OCAB(nn.Module):
             resolve_attention_impl,
         )
 
+        # Fused OCAB wins the train step but loses the inference forward
+        # (PARITY round 3) -> gate on deterministic like the other paths.
         if (
             fused_ocab.ENABLE
+            and (not deterministic or fused_ocab.INFERENCE_FUSED)
             and resolve_attention_impl(self.attn_impl) == "fused"
             and h % ws == 0
             and w % ws == 0
@@ -613,7 +616,7 @@ class RHAG(nn.Module):
         x = OCAB(self.dim, self.window_size, self.overlap_ratio,
                  self.num_heads, self.qkv_bias, self.mlp_ratio,
                  self.attn_impl, self.gelu_approximate, self.dtype,
-                 name="overlap_attn")(x)
+                 name="overlap_attn")(x, deterministic)
         if self.resi_connection == "1conv":
             x = Conv3x3(self.dim, dtype=self.dtype, name="conv")(x)
         # 'identity' -> no conv

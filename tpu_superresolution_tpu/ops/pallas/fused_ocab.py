@@ -58,6 +58,13 @@ KERNEL_BACKWARD = True
 # path (round-2 behavior) regardless of attention_impl.
 ENABLE = True
 
+# Measured round-3 (PARITY.md): fused wins the TRAIN step (97.9 vs
+# 104.9 ms) but loses the inference forward (85.8 vs 83.0 ms).  With
+# INFERENCE_FUSED=False the fused path is used only when the model is
+# called non-deterministically (training); inference keeps the unfused
+# module path.  Set True to force fused everywhere (A/B hatch).
+INFERENCE_FUSED = False
+
 
 def _fwd_kernel(q_ref, k_ref, v_ref, sw_ref,
                 wp_ref, bp_ref, g2_ref, b2_ref,
