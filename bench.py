@@ -59,10 +59,15 @@ def main():
 
     # MFU of the executed program (includes the tile-overlap redundancy
     # — this is utilization of the chip, not useful-work efficiency).
+    # Analytic FLOPs, NOT xla cost_analysis: the Pallas megakernel is a
+    # custom call whose FLOPs XLA cannot see (measured: cost_analysis
+    # reports ~0.45 TFLOP vs ~2.8 TFLOP analytic for this program).
     try:
-        from tpu_superresolution_tpu.utils.flops import mfu, xla_flops
+        from tpu_superresolution_tpu.evaluate.tiling import tile_grid
+        from tpu_superresolution_tpu.utils.flops import mfu, swinir_flops
 
-        flops = xla_flops(run, x)
+        n_tiles = len(tile_grid(256, 64, 8)) ** 2
+        flops = n_tiles * swinir_flops(cfg, 64, 64)
         mfu_val = round(mfu(flops, dt), 4)
     except Exception:
         mfu_val = None
