@@ -12,13 +12,18 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
 def run_proof(prefix, cli_main, build_args, scale="X2"):
     """build_args(root, workdir) -> argv for cli_main.  Returns the
-    evaluate CLI's result dict."""
+    evaluate CLI's result dict.  PROOF_STYLE=grains switches the
+    synthetic data to the sharp-edged ellipse fields (lower bicubic
+    floor — discriminative between architectures); default stays the
+    round-3 smooth set so recorded numbers remain comparable."""
     from util_fakedata import make_deeprock_dataset
 
+    style = os.environ.get("PROOF_STYLE", "smooth")
     tmp = tempfile.mkdtemp(prefix=prefix)
     root = make_deeprock_dataset(
-        tmp, n_per_split=48, hr_size=96, scale=scale, seed=7
+        tmp, n_per_split=48, hr_size=96, scale=scale, seed=7, style=style,
     )
+    print("[proof] style:", style, flush=True)
     print("[proof] dataset:", root, flush=True)
     workdir = os.path.join(tmp, "run")
     os.makedirs(workdir, exist_ok=True)
