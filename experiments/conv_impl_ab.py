@@ -19,8 +19,9 @@ for mname, cfg in (("swinir", SwinIRConfig(scale=4)),
     v = model.init(jax.random.key(0), x[:, :64, :64], train=False)
     xin = xt if mname == "swinir_b25t64" else x
     fns, outs = {}, {}
-    tags = (("gemm", "xla", "halo", "gemm+first", "halo+up")
-            if mname == "swinir" else ("gemm", "xla", "halo"))
+    # Trimmed round-4 (compiles ~4x slower today): the decisive three
+    # at both shapes; gemm+first / halo+up re-enter behind the winner.
+    tags = ("gemm", "xla", "halo")
     for tag in tags:
         blocks.CONV3X3_IMPL = {"gemm+first": "gemm", "halo+up": "halo"}.get(tag, tag)
         blocks.CONV3X3_INPUT_IMPL = "gemm" if tag == "gemm+first" else "xla"

@@ -14,20 +14,23 @@ x = jnp.asarray(rng.random((1, 256, 256, 3), np.float32))
 model = build_model(DATConfig(scale=4), dtype=jnp.bfloat16)
 v = model.init(jax.random.key(0), x[:, :64, :64], train=False)
 
-# (tag, ln_impl, dw_impl, conv_impl) — base = round-2 measured config
-# (dat.LN_IMPL "xla" default; 136.4 ms round 2 vs 206.8 with Pallas LNs)
+# (tag, ln_impl, dw_impl, conv_impl, softmax_fp32) — base = round-2
+# measured config (dat.LN_IMPL "xla" default; 136.4 ms round 2 vs 206.8
+# with Pallas LNs).  Trimmed round-4 (compiles ~20 min/case today):
+# dropped dw=halo / conv=halo; added the bf16 softmax-maps case
+# (VERDICT r3 weak #2 — the ~805 MB fp32 attention-map HBM term).
 cases = [
-    ("base(lnxla,dwxla,cxla)", "xla", "xla", "xla"),
-    ("ln=pallas",              None,  "xla", "xla"),
-    ("dw=halo",                "xla", "halo", "xla"),
-    ("conv=gemm",              "xla", "xla", "gemm"),
-    ("conv=halo",              "xla", "xla", "halo"),
+    ("base(lnxla,dwxla,cxla)", "xla", "xla", "xla", True),
+    ("ln=pallas",              None,  "xla", "xla", True),
+    ("conv=gemm",              "xla", "xla", "gemm", True),
+    ("softmax=bf16",           "xla", "xla", "xla", False),
 ]
 fns, outs = {}, {}
-for tag, ln, dw, cv in cases:
+for tag, ln, dw, cv, smf in cases:
     datmod.LN_IMPL = ln
     blocks.DWCONV3X3_IMPL = dw
     blocks.CONV3X3_IMPL = cv
+    datmod.SOFTMAX_FP32 = smf
     fn = jax.jit(lambda b, model=model, v=v: model.apply(v, b, train=False))
     t0 = time.time()
     try:
@@ -40,6 +43,7 @@ for tag, ln, dw, cv in cases:
 datmod.LN_IMPL = "xla"
 blocks.DWCONV3X3_IMPL = "xla"
 blocks.CONV3X3_IMPL = "xla"
+datmod.SOFTMAX_FP32 = True
 base = outs.get(cases[0][0])
 for tag, o in outs.items():
     if base is not None and tag != cases[0][0]:

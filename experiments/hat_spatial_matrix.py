@@ -15,13 +15,14 @@ v = model.init(jax.random.key(0), x[:, :64, :64], train=False)
 import tpu_superresolution_tpu.ops.pallas.cab_conv as cc
 import tpu_superresolution_tpu.models.blocks as blocks
 
+# Trimmed round-4: compiles measured ~23 min/case over today's tunnel
+# (4-5x round 3) — keep the four decisive cells; trunk-halo and stackv
+# re-enter only if spatial wins (they compose with the winner).
 cases = [
     ("classic/v3", False, "v3", False, "xla"),
     ("classic/v3+cab", False, "v3", True, "xla"),
-    ("classic/v3+cab+trunkhalo", False, "v3", True, "halo"),
     ("spatial/v3", True, "v3", False, "xla"),
     ("spatial/v3+cab", True, "v3", True, "xla"),
-    ("spatial/stackv+cab", True, "stackv", True, "xla"),
 ]
 fns, outs = {}, {}
 for tag, sp, var, cab, cv in cases:
