@@ -25,13 +25,14 @@ run_one() {
   echo "[queue] done $logname rc=$? ($(date -u +%FT%TZ))" >> "$LOG"
 }
 
-run_one experiments/dat_bf16_maps_ab.py 5400 dat_bf16_maps_ab
-run_one experiments/swinir_train_ab.py  5400 swinir_train_ab
-echo "[queue] phase2 AB DONE $(date -u +%FT%TZ)" >> "$LOG"
-
-# Quality proofs on the grains set (sharp edges, 28.5 dB bicubic floor)
+# (The new A/Bs were folded into run_all.sh round-4: dat_bf16_maps_ab
+# became dat_impl_matrix's softmax=bf16 case, swinir_train_ab runs in
+# the train-step block.)  Phase 2 = quality proofs on the grains set
+# (sharp edges, 28.5 dB bicubic floor — discriminative, VERDICT weak #5).
 export PROOF_STYLE=grains
-run_one experiments/swinir_quality_proof.py 7200 swinir_quality_proof_grains
-run_one experiments/hat_quality_proof.py    7200 hat_quality_proof_grains 300
-run_one experiments/dat_quality_proof.py    7200 dat_quality_proof_grains 200
+export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
+run_one experiments/swinir_quality_proof.py 10800 swinir_quality_proof_grains
+run_one experiments/hat_quality_proof.py    10800 hat_quality_proof_grains 300
+run_one experiments/dat_quality_proof.py    10800 dat_quality_proof_grains 200
 echo "[queue] phase2 ALL DONE $(date -u +%FT%TZ)" >> "$LOG"
