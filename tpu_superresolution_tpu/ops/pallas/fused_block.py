@@ -108,9 +108,13 @@ SPATIAL_PACKED = False
 # through its block sequence and pays ONE roll per layer tail instead
 # of two per shifted block.  Inference-only (the custom_vjp pairs with
 # offset-free reads); SwinBlock gates it on deterministic + no remat.
-# Off until measured on real Mosaic (the sublane-offset column slice
-# is the compile risk).
-ABSORB_ROLLS = False
+# MEASURED on v5e 2026-08-19 (experiments/logs/absorb_rolls_ab.log),
+# outputs bitwise identical (maxdiff 0.0e0) at both shapes:
+#   256^2 whole fwd: 47.00 -> 45.44 ms;  bench shape b25/t64:
+#   65.73 -> 55.16 ms (-16%; the absorbed reads also unlock the odd-
+#   batch fold split, which WINS under absorb: 55.16 vs 56.65 nofold,
+#   while losing under rolls: 65.73 vs 60.68).  Default ON.
+ABSORB_ROLLS = True
 
 
 def _variant_kwargs(variant: str) -> dict:
