@@ -37,7 +37,7 @@ for shape_tag, xin in (("256x256", x256), ("b25t64", xt)):
             o = jax.block_until_ready(fn(xin))
         except Exception as e:
             print(f"[FAIL] {shape_tag}/{tag}: {type(e).__name__}: "
-                  f"{str(e)[:300]}", flush=True)
+                  f"{str(e)[:4000]}", flush=True)
             continue
         print(f"[compile] {shape_tag}/{tag}: {time.time()-t0:.0f}s", flush=True)
         fns[tag] = fn; outs[tag] = np.asarray(o, np.float32)

@@ -31,7 +31,7 @@ for mname, cfg in (("swinir", SwinIRConfig(scale=4)),
         try:
             o = jax.block_until_ready(fn(xin))
         except Exception as e:
-            print(f"[FAIL] {mname}/{tag}: {type(e).__name__}: {str(e)[:300]}",
+            print(f"[FAIL] {mname}/{tag}: {type(e).__name__}: {str(e)[:4000]}",
                   flush=True)
             continue
         print(f"[compile] {mname}/{tag}: {time.time()-t0:.0f}s", flush=True)

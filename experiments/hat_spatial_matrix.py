@@ -35,7 +35,7 @@ for tag, sp, var, cab, cv in cases:
     try:
         o = jax.block_until_ready(fn(x))
     except Exception as e:
-        print(f"[FAIL] {tag}: {type(e).__name__}: {str(e)[:300]}", flush=True)
+        print(f"[FAIL] {tag}: {type(e).__name__}: {str(e)[:4000]}", flush=True)
         continue
     print(f"[compile] {tag}: {time.time()-t0:.0f}s", flush=True)
     fns[tag] = fn; outs[tag] = np.asarray(o, np.float32)

@@ -43,7 +43,7 @@ for tag, sp, cab in cases:
         p2, o2, l = fn(v["params"], opt, lr_img, hr_img, key)
         jax.block_until_ready(l)
     except Exception as e:
-        print(f"[FAIL] {tag}: {type(e).__name__}: {str(e)[:300]}", flush=True)
+        print(f"[FAIL] {tag}: {type(e).__name__}: {str(e)[:4000]}", flush=True)
         continue
     print(f"[compile] {tag}: {time.time()-t0:.0f}s loss={float(l):.5f}", flush=True)
     fns[tag] = fn

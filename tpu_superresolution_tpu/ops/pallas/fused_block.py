@@ -82,6 +82,15 @@ FOLD_ODD_MIN_B = 48
 # grid steps win until VMEM pressure bites.
 PACKED_GROUP = 16
 
+# Windows per grid step for the packed BACKWARD kernel.  The backward
+# keeps roughly twice the forward's live VMEM (ct + x blocks plus the
+# recompute chain and weight-grad accumulators): at group 16 the HAT
+# train step OOMs the 16 MB scoped-VMEM stack by 555 KB
+# (hat_train_split.log 2026-08-19, bf16[896,56,96] blocks) — the
+# whole-HAT backward never compiled at 16; round 3's 97.9 ms train
+# step predates the group-16 flip.  8 fits.
+PACKED_GROUP_BWD = 8
+
 # Forward-kernel variant for the packed path (same tokens as
 # MEGA_VARIANT).  The packed chain is latency-bound on its serial
 # per-step op sequence (PARITY.md round 3); "stackv" collapses the
@@ -1589,9 +1598,12 @@ def fused_packed_windows_block(
 
         def op_bwd(res, ct):
             if KERNEL_BACKWARD and res[4] is not None:
+                bgroup = min(group, PACKED_GROUP_BWD)
+                while bgroup > 1 and (bw // b) % bgroup:
+                    bgroup //= 2
                 return _packed_backward(
                     ct, *res, mask, scale, gelu_approx, interpret,
-                    has_extra=False, group=group,
+                    has_extra=False, group=bgroup,
                 )
             _, vjp = jax.vjp(
                 lambda *a: _reference_packed(
@@ -1620,9 +1632,12 @@ def fused_packed_windows_block(
 
     def op_ex_bwd(res, ct):
         if KERNEL_BACKWARD and res[4] is not None:
+            bgroup = min(group, PACKED_GROUP_BWD)
+            while bgroup > 1 and (bw // b) % bgroup:
+                bgroup //= 2
             return _packed_backward(
                 ct, *res[:15], mask, scale, gelu_approx, interpret,
-                has_extra=True, extra=res[15], group=group,
+                has_extra=True, extra=res[15], group=bgroup,
             )
         _, vjp = jax.vjp(
             lambda *a: _reference_packed(
