@@ -1710,7 +1710,7 @@ def fused_spatial_windows_block(
 
         (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
          wfc1, bfc1, wfc2, bfc2, bias) = weights
-        group = PACKED_GROUP
+        group = PACKED_GROUP_BWD  # group-16 bwd OOMs scoped VMEM
         npad = (-n) % 8
         wpad = (-nW) % group  # pads nW + wpad to a group multiple
 
