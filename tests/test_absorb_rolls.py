@@ -39,13 +39,17 @@ def test_swinir_forward_matches_roll_path(batch):
     x = jnp.asarray(rng.random((batch, 32, 32, 3), np.float32))
     v = model.init(jax.random.key(0), x[:1], train=False)
 
-    assert fb.ABSORB_ROLLS is False  # production default until measured
-    ref = model.apply(v, x, train=False)
+    # Compare both settings regardless of the production default
+    # (flipped True 2026-08-19 after the on-chip A/B win — absorb is
+    # bitwise-identical on hardware; this pins the CPU interpret path).
+    saved = fb.ABSORB_ROLLS
     try:
+        fb.ABSORB_ROLLS = False
+        ref = model.apply(v, x, train=False)
         fb.ABSORB_ROLLS = True
         out = model.apply(v, x, train=False)
     finally:
-        fb.ABSORB_ROLLS = False
+        fb.ABSORB_ROLLS = saved
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-5, rtol=0
     )

@@ -122,6 +122,27 @@ def test_swinir_fused_impl_matches_jnp(rng):
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=3e-5)
 
 
+def test_swinir_fused_impl_numpy_params(rng):
+    """Fused path must accept a host-numpy param tree: checkpoint
+    restore forces leaves to numpy (train/checkpoint.py), and the
+    round-4 grains proof crashed in _prep_weights on
+    `numpy.ndarray.at` when evaluating a restored SwinIR as-trained."""
+    from tpu_superresolution_tpu.core.config import SwinIRConfig, build_model
+
+    cfg = SwinIRConfig(
+        scale=2, img_size=16, window_size=8, embed_dim=12, depths=(2,),
+        num_heads=(2,), upsampler="pixelshuffledirect",
+        attention_impl="fused",
+    )
+    x = jnp.asarray(rng.random((1, 16, 16, 3), dtype=np.float32))
+    m = build_model(cfg)
+    v = m.init(jax.random.key(0), x, train=False)
+    v_np = jax.tree.map(lambda a: np.asarray(a), v)
+    y = m.apply(v, x, train=False)
+    y_np = m.apply(v_np, x, train=False)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_np), atol=1e-6)
+
+
 def test_swinir_fused_impl_grads(rng):
     """Gradients flow through the fused path (custom_vjp) and match the
     jnp path."""

@@ -226,8 +226,10 @@ class SwinBlock(nn.Module):
             and w % ws == 0
             and megakernel_tpu_ok(ws, w)
         )
-        # Roll absorption needs the fused inference path (the offset
-        # read bypasses the custom_vjp; drop-path training falls back).
+        # Roll absorption is differentiable (custom_vjp rolls only in
+        # the backward); drop-path training still falls back to the
+        # explicit-roll kernel — the absorb x branch_scales cross is
+        # unmeasured on hardware (candidate A/B, not a blind flip).
         do_absorb = absorb and fused_ok and not dp_active
         if absorb and not do_absorb and coord_in:
             x = cyclic_unshift(x, coord_in)

@@ -39,9 +39,37 @@ __all__ = ["fused_ln_cab_convs", "conv3x3_halo", "ENABLE"]
 # Routing switch for HAB's fused path (A/B on hardware before default).
 ENABLE = False
 
-# Rows per grid step.  VMEM per step ~ 3 x-chunks + fp32 temps; 32 rows
-# at 259x96 bf16 is ~10 MB peak.
+# Rows per grid step (upper bound).  VMEM per step ~ 3 x-chunks + fp32
+# temps; 32 rows at 259x96 bf16 is ~10 MB peak — but at 256^2 x C180
+# (SwinIR-M whole-image) 32 rows needs ~17.6 MB and overflows the
+# 16 MB scoped-VMEM stack ("Ran out of memory in memory space vmem",
+# measured 2026-08-19) — every halo kernel now sizes its rows to
+# _VMEM_BUDGET via _fit_rows.
 CHUNK_ROWS = 32
+
+# Scoped-VMEM budget per grid step (bytes).  The hardware stack limit
+# is 16 MB; the per-row estimates below count the pipeline blocks
+# DOUBLE-buffered (Mosaic multi-buffers every in/out block of a
+# pipelined grid — the first estimate missed this and rows sized to a
+# 10 MiB budget still OOMed at 256^2, mosaic_diag 2026-08-19) plus the
+# in-kernel fp32/cdt temps.
+_VMEM_BUDGET = 15 * 2**20
+
+
+def _fit_rows(h, per_row_bytes, min_rows, halo=2):
+    """Largest rows-per-step <= CHUNK_ROWS whose estimated live VMEM
+    fits _VMEM_BUDGET; 0 when even `min_rows` (the halo requirement)
+    can't fit — callers fall back to their jnp/XLA reference path.
+
+    `halo` charges the constant extra temp rows ((rows+halo) concats /
+    pads inside the kernel) against the budget so small-`rows` fits
+    aren't dominated by the halo overhead they ignore."""
+    rows = min(
+        CHUNK_ROWS, h, int(_VMEM_BUDGET // max(per_row_bytes, 1)) - halo
+    )
+    if rows < min_rows:
+        return 0
+    return rows
 
 
 def _kernel(xp_ref, xc_ref, xn_ref, g_ref, b_ref,
@@ -114,7 +142,19 @@ def _forward(x, g, b, k1, c1, k2, c2, interpret):
     bsz, h, w, cin = x.shape
     cmid = k1.shape[-1]
     cout = k2.shape[-1]
-    rows = min(CHUNK_ROWS, h)
+    xb = x.dtype.itemsize
+    cb = 2 if x.dtype == jnp.bfloat16 else 4
+    # per row: 3 input chunks double-buffered (6*xb) + concat/xf/ln
+    # fp32 temps + ln cast/pad (cb) + conv1 acc (4) / y1+gelu (cb+4) +
+    # conv2 acc (4) + out double-buffered (2*xb)
+    per_row = w * (
+        cin * (6 * xb + 10 + 2 * cb)
+        + cmid * (8 + cb)
+        + cout * (4 + 2 * xb)
+    )
+    rows = _fit_rows(h, per_row, min_rows=4, halo=4)
+    if rows == 0:
+        return _reference(x, g, b, k1, c1, k2, c2)
     nr = pl.cdiv(h, rows)
     dtype = x.dtype
     cdt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
@@ -189,10 +229,26 @@ def conv3x3_halo(x, kernel, bias, interpret=None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    def conv_xla(x, kernel, bias):
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(y.dtype)
+
     def forward(x, kernel, bias):
         bsz, h, w, cin = x.shape
         cout = kernel.shape[-1]
-        rows = min(CHUNK_ROWS, h)
+        xb = x.dtype.itemsize
+        cb = 2 if x.dtype == jnp.bfloat16 else 4
+        # 3 input chunks double-buffered + concat/where/pad cdt copies
+        # + fp32 acc + out double-buffered
+        per_row = w * (cin * (6 * xb + 3 * cb) + cout * (4 + 2 * xb))
+        rows = _fit_rows(h, per_row, min_rows=2)
+        if rows == 0:
+            # XLA conv beats the 9-shifted GEMM at VMEM-bound shapes
+            # (46.52 vs 52.16 ms whole-SwinIR at 256^2, conv_impl_ab).
+            return conv_xla(x, kernel, bias)
         nr = pl.cdiv(h, rows)
         dtype = x.dtype
         cdt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
@@ -289,9 +345,13 @@ def conv_halo(x, kernel, bias, pad, interpret=None):
     def forward(x, kernel, bias):
         bsz, h, w, cin = x.shape
         cout = kernel.shape[-1]
-        rows = min(CHUNK_ROWS, h)
-        if rows < max(plo, phi):
-            return reference(x, kernel, bias)  # degenerate tiny input
+        xb = x.dtype.itemsize
+        cb = 2 if x.dtype == jnp.bfloat16 else 4
+        per_row = w * (cin * (6 * xb + 3 * cb) + cout * (4 + 2 * xb))
+        rows = _fit_rows(h, per_row, min_rows=max(plo, phi, 2),
+                         halo=max(plo + phi, 2))
+        if rows == 0 or rows < max(plo, phi):
+            return reference(x, kernel, bias)  # tiny input or VMEM-bound
         nr = pl.cdiv(h, rows)
         dtype = x.dtype
         cdt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
@@ -374,7 +434,13 @@ def dwconv3x3_halo(x, kernel, bias, interpret=None):
 
     def forward(x, kernel, bias):
         bsz, h, w, c = x.shape
-        rows = min(CHUNK_ROWS, h)
+        xb = x.dtype.itemsize
+        # 3 input chunks double-buffered + fp32 concat/where/pad copies
+        # + fp32 acc + out double-buffered
+        per_row = w * c * (8 * xb + 16)
+        rows = _fit_rows(h, per_row, min_rows=2)
+        if rows == 0:
+            return reference(x, kernel, bias)
         nr = pl.cdiv(h, rows)
         cur = lambda bb, r: (bb, r, 0, 0)
         prv = lambda bb, r: (bb, jnp.maximum(r - 1, 0), 0, 0)

@@ -110,6 +110,16 @@ def _prep_weights(wqkv, bqkv, wproj, bproj, num_heads, scale):
     wproj [C, C] -> [nH*hdp, C] with zero rows at pad positions.
     All trace-time jnp ops — XLA folds them once per compile.
     """
+    # Checkpoint-restored params arrive as host numpy (train/checkpoint.py
+    # forces leaves to numpy for backend portability) — the .at[] updates
+    # below are jnp-only, so coerce here.  Under jit this traces to the
+    # same constant-folded graph either way.
+    wqkv = jnp.asarray(wqkv)
+    wproj = jnp.asarray(wproj)
+    if bqkv is not None:
+        bqkv = jnp.asarray(bqkv)
+    bproj = jnp.asarray(bproj)
+
     c = wqkv.shape[0]
     hd = c // num_heads
     hdp = ((hd + 31) // 32) * 32

@@ -1097,8 +1097,10 @@ def fused_swin_block(
     read_shift) cyclic spatial offset inside the kernel instead of the
     caller rolling the array — the output stays in the block's compute
     coordinates (the caller tracks them; see SwinBlock/RSTB).
-    Inference-only: this path bypasses the custom_vjp (differentiating
-    it raises on the raw pallas_call).
+    Differentiable: f_rs(x) == f(cyclic_shift(x, read_shift)), so the
+    custom backward rolls the saved input into compute coordinates,
+    reuses the standard block backward, and rolls dx back (the two
+    rolls live only in the backward — the forward stays absorbed).
 
     Requires H % ws == 0 and W % ws == 0 (callers reflect-pad — the
     model already guarantees window multiples).  Differentiable via
@@ -1129,12 +1131,49 @@ def fused_swin_block(
 
     if read_shift:
         assert extra is None, "read_shift does not support `extra`"
-        return _mega_forward(
-            x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
-            wfc1, bfc1, wfc2, bfc2, bias, branch_scales,
-            ws, mask, scale, gelu_approx, interpret,
-            read_shift=read_shift, **vkw,
-        )
+        rs = read_shift
+
+        @jax.custom_vjp
+        def op_rs(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+                  wfc1, bfc1, wfc2, bfc2, bias, scales):
+            return _mega_forward(
+                x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+                wfc1, bfc1, wfc2, bfc2, bias, scales,
+                ws, mask, scale, gelu_approx, interpret,
+                read_shift=rs, **vkw,
+            )
+
+        def op_rs_fwd(*args):
+            return op_rs(*args), args
+
+        def op_rs_bwd(res, ct):
+            # The absorbed read is a pre-roll folded into the kernel:
+            # f_rs(x) == f(cyclic_shift(x, rs)).  Differentiate the
+            # equivalent pre-rolled composition and roll dx back
+            # (vjp of roll(·, -s) is roll(·, +s)).
+            from tpu_superresolution_tpu.ops.window import (
+                cyclic_shift, cyclic_unshift,
+            )
+
+            res_s = (cyclic_shift(res[0], rs),) + tuple(res[1:])
+            if KERNEL_BACKWARD and res[4] is not None:
+                grads = _mega_backward(
+                    ct, *res_s, ws, mask, scale, gelu_approx, interpret,
+                    has_extra=False,
+                )
+            else:
+                _, vjp = jax.vjp(
+                    lambda *a: _reference_block(
+                        *a, ws, mask, scale, gelu_approx
+                    ),
+                    *res_s,
+                )
+                grads = vjp(ct.astype(res_s[0].dtype))
+            return (cyclic_unshift(grads[0], rs),) + tuple(grads[1:])
+
+        op_rs.defvjp(op_rs_fwd, op_rs_bwd)
+        return op_rs(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+                     wfc1, bfc1, wfc2, bfc2, bias, branch_scales)
 
     if extra is None:
 
