@@ -158,6 +158,45 @@ def test_training_reduces_loss(dataset, tmp_path):
     assert any("val_PSNR" in l for l in logs)
 
 
+def test_val_every_skips_validation(dataset, tmp_path):
+    """val_every=3 over 4 epochs: epochs 1-2 skip validation (None in
+    history), epoch 3 validates, the last epoch always validates;
+    checkpoints and the loss curve still land."""
+    cfg = UNet2DConfig(base_channels=8, depth=2)
+    model = build_model(cfg)
+    dcfg = DataConfig(
+        data_root=str(dataset), scale="X2", convention="pre_upscale",
+        patch_size=32, do_flips=False,
+    )
+    tcfg = TrainConfig(epochs=4, batch_size=4, loss="mse", lr=1e-3,
+                       val_every=3)
+
+    idx_tr = PairedIndex(str(dataset), "train", "X2")
+    idx_va = PairedIndex(str(dataset), "valid", "X2")
+    train_loader = Loader(idx_tr, 4, shuffle=True, seed=0)
+    valid_loader = Loader(idx_va, 4)
+
+    x0 = jnp.zeros((1, 48, 48, 1), jnp.float32)
+    variables = model.init(jax.random.key(0), x0, train=False)
+    tx = build_optimizer(tcfg, len(train_loader), variables["params"])
+    state = create_train_state(
+        model, variables["params"], variables.get("batch_stats", {}), tx
+    )
+
+    logs = []
+    trainer = Trainer(model, cfg, dcfg, tcfg, workdir=str(tmp_path), log=logs.append)
+    trainer.fit(state, train_loader, valid_loader)
+
+    assert trainer.history["val"] == [
+        None, None, trainer.history["val"][2], trainer.history["val"][3]
+    ]
+    assert trainer.history["val"][2] is not None
+    assert trainer.history["val"][3] is not None
+    assert sum("val skipped" in l for l in logs) == 2
+    assert (tmp_path / "best_X2" / "meta.json").exists()
+    assert (tmp_path / "loss_curve_X2.png").exists()
+
+
 def test_checkpoint_roundtrip(tmp_path, rng):
     from tpu_superresolution_tpu.train.checkpoint import (
         load_checkpoint,

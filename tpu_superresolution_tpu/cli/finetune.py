@@ -47,6 +47,8 @@ def build_argparser():
                     help="data-parallel shards over the device mesh (0 = single device)")
     ap.add_argument("--early_stop_patience", type=int, default=None,
                     help="stop after N epochs without val-loss improvement")
+    ap.add_argument("--val_every", type=int, default=1,
+                    help="validate every N epochs (always the last; checkpoints/early-stop only see validated epochs)")
     # architecture overrides (default = SwinIR-M, the reference's config;
     # smaller values for smoke tests)
     ap.add_argument("--embed_dim", type=int, default=180)
@@ -115,6 +117,7 @@ def main(argv=None):
         grad_clip_norm=args.grad_clip, seed=args.seed,
         freeze_regex=args.freeze_regex, finetune=True,
         early_stop_patience=args.early_stop_patience,
+        val_every=args.val_every,
         dp_shards=args.dp,
     )
 

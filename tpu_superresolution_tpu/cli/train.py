@@ -63,6 +63,8 @@ def build_argparser():
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--time_log_every", type=int, default=0,
                     help="log within-epoch data/step timing every N batches (0=off)")
+    ap.add_argument("--val_every", type=int, default=1,
+                    help="validate every N epochs (always the last; checkpoints/early-stop only see validated epochs)")
     ap.add_argument("--resume", type=str, default=None,
                     help="checkpoint dir to restore weights (+opt state unless --finetune)")
     ap.add_argument("--finetune", action="store_true")
@@ -184,6 +186,7 @@ def main(argv=None):
         ft_lr=args.ft_lr,
         early_stop_patience=args.early_stop_patience,
         time_log_every=args.time_log_every,
+        val_every=args.val_every,
         dp_shards=args.dp,
     )
 

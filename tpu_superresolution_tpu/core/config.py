@@ -250,6 +250,13 @@ class TrainConfig:
     # Log within-epoch data/step timing every N batches (0 = off) —
     # reference --time_log_every (train.py:196).
     time_log_every: int = 0
+    # Validate every N epochs (always on the last epoch).  At tiny
+    # patch sizes the every-epoch full-image validation pass dominates
+    # wall time ~7x (measured on the round-4 quality proofs); the
+    # reference validates every epoch (train.py:140) so 1 stays the
+    # default.  Checkpoint selection and early stopping only see
+    # validated epochs.
+    val_every: int = 1
     # TPU specifics
     bf16_compute: bool = True
     remat: bool = False

@@ -364,7 +364,22 @@ class Trainer:
                 )
             t_tr = time.time() - t_ep
 
-            # ---- validate ----
+            # ---- validate (every val_every epochs; always the last) ----
+            do_val = (
+                getattr(tcfg, "val_every", 1) <= 1
+                or epoch % tcfg.val_every == 0
+                or epoch == tcfg.epochs
+            )
+            self.history["train"].append(tr_loss)
+            if not do_val:
+                self.history["val"].append(None)
+                self.log(
+                    f"[{dcfg.scale}] epoch {epoch}: "
+                    f"train_loss {tr_loss:.7f} | "
+                    f"(data {data_t / n_steps:.3f}/batch {step_t / n_steps:.3f}) | "
+                    f"time: train {t_tr:.1f}s (val skipped)"
+                )
+                continue
             t_val0 = time.time()
             agg = {"loss": 0.0, "psnr_sum": 0.0, "ssim_sum": 0.0, "n": 0.0}
             n_batches = 0
@@ -380,7 +395,6 @@ class Trainer:
             val_ssim = agg["ssim_sum"] / max(1.0, agg["n"])
             t_val = time.time() - t_val0
 
-            self.history["train"].append(tr_loss)
             self.history["val"].append(val_loss)
 
             self.log(
@@ -469,7 +483,15 @@ class Trainer:
         epochs = list(range(1, len(self.history["train"]) + 1))
         plt.figure(figsize=(8, 5))
         plt.plot(epochs, self.history["train"], label="train loss")
-        plt.plot(epochs, self.history["val"], label="val loss")
+        # val_every>1 leaves None at skipped epochs — plot only the
+        # validated points so the curve connects across gaps.
+        vpts = [
+            (e, v)
+            for e, v in zip(epochs, self.history["val"])
+            if v is not None
+        ]
+        if vpts:
+            plt.plot(*zip(*vpts), label="val loss")
         plt.xlabel("Epoch")
         plt.ylabel("Loss")
         plt.title(f"Train vs Val loss ({self.data_config.scale})")
