@@ -12,6 +12,7 @@ import sys
 
 from proof_common import run_proof
 
+VAL_EVERY = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 200
 
 
@@ -25,6 +26,7 @@ def main():
         "--embed_dim", "60", "--t_depths", "4,4,4,4",
         "--t_heads", "6,6,6,6", "--window_size", "8",
         "--workdir", workdir,
+        "--val_every", str(VAL_EVERY),
     ])
 
 

@@ -13,6 +13,7 @@ import sys
 
 from proof_common import run_proof
 
+VAL_EVERY = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 300
 
 
@@ -25,6 +26,7 @@ def main():
         "--lr", "2e-4", "--min_lr", "1e-5",
         "--embed_dim", "60", "--depths", "4,4,4,4", "--num_heads", "6,6,6,6",
         "--window_size", "8", "--workdir", workdir,
+        "--val_every", str(VAL_EVERY),
     ])
 
 
