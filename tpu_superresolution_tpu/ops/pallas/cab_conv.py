@@ -56,18 +56,26 @@ CHUNK_ROWS = 32
 _VMEM_BUDGET = 15 * 2**20
 
 
-def _fit_rows(h, per_row_bytes, min_rows, halo=2):
+def _fit_rows(h, per_row_bytes, min_rows, halo=2, strict=False):
     """Largest rows-per-step <= CHUNK_ROWS whose estimated live VMEM
     fits _VMEM_BUDGET; 0 when even `min_rows` (the halo requirement)
     can't fit — callers fall back to their jnp/XLA reference path.
 
     `halo` charges the constant extra temp rows ((rows+halo) concats /
     pads inside the kernel) against the budget so small-`rows` fits
-    aren't dominated by the halo overhead they ignore."""
-    rows = min(
-        CHUNK_ROWS, h, int(_VMEM_BUDGET // max(per_row_bytes, 1)) - halo
-    )
-    if rows < min_rows:
+    aren't dominated by the halo overhead they ignore.
+
+    `strict`: return 0 unless the UNCONSTRAINED row count
+    (min(CHUNK_ROWS, h)) fits — i.e. refuse VMEM-squeezed shapes
+    entirely.  Measured 2026-08-19: SwinIR conv3x3-halo at 256^2 still
+    crashes the remote Mosaic compiler with estimate-shrunk rows (~10),
+    so the production halo convs only run where the full pipeline block
+    fits comfortably (e.g. the 64px bench tiles); squeezed shapes take
+    the XLA conv, which measured best at 256^2 anyway (46.52 vs
+    gemm 52.16, conv_impl_ab)."""
+    free = min(CHUNK_ROWS, h)
+    rows = min(free, int(_VMEM_BUDGET // max(per_row_bytes, 1)) - halo)
+    if rows < min_rows or (strict and rows < free):
         return 0
     return rows
 
@@ -244,7 +252,7 @@ def conv3x3_halo(x, kernel, bias, interpret=None):
         # 3 input chunks double-buffered + concat/where/pad cdt copies
         # + fp32 acc + out double-buffered
         per_row = w * (cin * (6 * xb + 3 * cb) + cout * (4 + 2 * xb))
-        rows = _fit_rows(h, per_row, min_rows=2)
+        rows = _fit_rows(h, per_row, min_rows=2, strict=True)
         if rows == 0:
             # XLA conv beats the 9-shifted GEMM at VMEM-bound shapes
             # (46.52 vs 52.16 ms whole-SwinIR at 256^2, conv_impl_ab).
@@ -349,7 +357,7 @@ def conv_halo(x, kernel, bias, pad, interpret=None):
         cb = 2 if x.dtype == jnp.bfloat16 else 4
         per_row = w * (cin * (6 * xb + 3 * cb) + cout * (4 + 2 * xb))
         rows = _fit_rows(h, per_row, min_rows=max(plo, phi, 2),
-                         halo=max(plo + phi, 2))
+                         halo=max(plo + phi, 2), strict=True)
         if rows == 0 or rows < max(plo, phi):
             return reference(x, kernel, bias)  # tiny input or VMEM-bound
         nr = pl.cdiv(h, rows)
@@ -438,7 +446,7 @@ def dwconv3x3_halo(x, kernel, bias, interpret=None):
         # 3 input chunks double-buffered + fp32 concat/where/pad copies
         # + fp32 acc + out double-buffered
         per_row = w * c * (8 * xb + 16)
-        rows = _fit_rows(h, per_row, min_rows=2)
+        rows = _fit_rows(h, per_row, min_rows=2, strict=True)
         if rows == 0:
             return reference(x, kernel, bias)
         nr = pl.cdiv(h, rows)
