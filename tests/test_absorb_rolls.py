@@ -21,11 +21,11 @@ from tpu_superresolution_tpu.ops.window import shift_attn_mask
 
 
 def _tiny_swinir(**kw):
+    kw.setdefault("drop_path_rate", 0.0)
     cfg = SwinIRConfig(
         scale=2, img_size=32, window_size=8, embed_dim=12,
         depths=(2, 2), num_heads=(2, 2), mlp_ratio=2.0,
-        attention_impl="fused", upsampler="pixelshuffledirect",
-        drop_path_rate=0.0, **kw,
+        attention_impl="fused", upsampler="pixelshuffledirect", **kw,
     )
     return cfg, build_model(cfg)
 
@@ -53,6 +53,40 @@ def test_swinir_forward_matches_roll_path(batch):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-5, rtol=0
     )
+
+
+@pytest.mark.parametrize("drop_path", [0.0, 0.3])
+def test_absorb_train_grads_match_roll_path(drop_path):
+    """ABSORB_TRAIN: a training (non-deterministic) forward+backward
+    through the absorbed path must match the explicit-roll path —
+    including the drop-path branch_scales x read_shift cross (the
+    scales are sampled outside the kernel from the same rng stream, so
+    both paths see identical masks)."""
+    cfg, model = _tiny_swinir(drop_path_rate=drop_path)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((2, 32, 32, 3), np.float32))
+    v = model.init(jax.random.key(0), x, train=False)
+
+    def loss_fn(p):
+        out = model.apply(
+            {"params": p}, x, train=True,
+            rngs={"drop_path": jax.random.key(7)},
+        )
+        return jnp.mean(out**2)
+
+    saved = fb.ABSORB_TRAIN
+    try:
+        fb.ABSORB_TRAIN = False
+        l_ref, g_ref = jax.value_and_grad(loss_fn)(v["params"])
+        fb.ABSORB_TRAIN = True
+        l_abs, g_abs = jax.value_and_grad(loss_fn)(v["params"])
+    finally:
+        fb.ABSORB_TRAIN = saved
+    np.testing.assert_allclose(float(l_abs), float(l_ref), atol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_abs), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=0
+        )
 
 
 def _raw_block_weights(rng, c, nh, n, mlp=2.0):

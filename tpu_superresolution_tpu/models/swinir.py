@@ -227,10 +227,14 @@ class SwinBlock(nn.Module):
             and megakernel_tpu_ok(ws, w)
         )
         # Roll absorption is differentiable (custom_vjp rolls only in
-        # the backward); drop-path training still falls back to the
-        # explicit-roll kernel — the absorb x branch_scales cross is
-        # unmeasured on hardware (candidate A/B, not a blind flip).
-        do_absorb = absorb and fused_ok and not dp_active
+        # the backward); drop-path training keeps the explicit-roll
+        # kernel unless ABSORB_TRAIN — the absorb x branch_scales cross
+        # rides the same read_shift custom_vjp (scales pass through).
+        from tpu_superresolution_tpu.ops.pallas.fused_block import (
+            ABSORB_TRAIN,
+        )
+
+        do_absorb = absorb and fused_ok and (not dp_active or ABSORB_TRAIN)
         if absorb and not do_absorb and coord_in:
             x = cyclic_unshift(x, coord_in)
             coord_in = 0
@@ -343,9 +347,14 @@ class RSTB(nn.Module):
         # coordinate shift through the block sequence — each fused block
         # reads at its (shift - coord) offset instead of rolling, and
         # ONE roll at the layer tail restores true coordinates
-        # (replaces two rolls per shifted block).  Inference only; remat
-        # wraps the call signature, so it opts out.
-        absorb = _fb.ABSORB_ROLLS and deterministic and not self.use_remat
+        # (replaces two rolls per shifted block).  Training forwards
+        # absorb too when ABSORB_TRAIN is on (A/B-gated); remat wraps
+        # the call signature, so it opts out.
+        absorb = (
+            _fb.ABSORB_ROLLS
+            and not self.use_remat
+            and (deterministic or _fb.ABSORB_TRAIN)
+        )
         coord = 0
         for j in range(self.depth):
             blk = block_cls(

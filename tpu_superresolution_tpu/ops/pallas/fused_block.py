@@ -115,8 +115,8 @@ SPATIAL_PACKED = False
 # a Mosaic relayout).  The stored activation stays in the PREVIOUS
 # block's compute coordinates; RSTB threads the coordinate offset
 # through its block sequence and pays ONE roll per layer tail instead
-# of two per shifted block.  Inference-only (the custom_vjp pairs with
-# offset-free reads); SwinBlock gates it on deterministic + no remat.
+# of two per shifted block.  Differentiable (read_shift custom_vjp:
+# rolls live only in the backward); SwinBlock gates it on no remat.
 # MEASURED on v5e 2026-08-19 (experiments/logs/absorb_rolls_ab.log),
 # outputs bitwise identical (maxdiff 0.0e0) at both shapes:
 #   256^2 whole fwd: 47.00 -> 45.44 ms;  bench shape b25/t64:
@@ -124,6 +124,13 @@ SPATIAL_PACKED = False
 #   batch fold split, which WINS under absorb: 55.16 vs 56.65 nofold,
 #   while losing under rolls: 65.73 vs 60.68).  Default ON.
 ABSORB_ROLLS = True
+
+# Extend roll absorption to TRAINING (non-deterministic) forwards,
+# including drop-path (the kernel's branch_scales ride through the
+# read_shift custom_vjp unchanged).  The absorbed train step is
+# unmeasured on hardware (experiments/swinir_train_absorb_ab.py) —
+# default OFF until it wins interleaved.
+ABSORB_TRAIN = False
 
 
 def _variant_kwargs(variant: str) -> dict:
