@@ -86,17 +86,19 @@ class ConvTranspose2dTorch(nn.Module):
 
 
 # Whole-model A/B switch for Conv3x3 (measurement scripts flip it);
-# per-module `impl=` overrides it.  Default "xla" until the queued
-# on-chip A/B proves gemm for the SwinIR/DAT trunks: only HAT's CAB
-# shapes are measured (93.0 -> 87.0 ms, CAB pins impl="gemm"), and at
-# batched shapes (bench b=25) the conv op is likely fine while the
-# GEMM form reads the padded activation 9x.
-CONV3X3_IMPL = "xla"
+# per-module `impl=` overrides it.  "halo" = the one-read Pallas kernel
+# (ops/pallas/cab_conv.conv3x3_halo), which self-gates: VMEM-squeezed
+# shapes (e.g. 256^2 whole images) fall back to the XLA conv op, which
+# measured best there (46.52 vs gemm 52.16 ms whole-SwinIR).  Flipped
+# per conv_halo_flip_ab (2026-08-19, v5e): bench shape b25/t64
+# halo+first+up 53.28 vs xla 55.20 ms min (-3.5%), DAT/HAT trunks ride
+# the same switch; gemm loses at both shapes (84.91 at b25).
+CONV3X3_IMPL = "halo"
 
-# Input-layer (Cin=3) convs route separately: K=3 GEMMs waste the MXU,
-# so the conv op stays the default there — but the same in-model
-# pathology could apply, so it is A/B-able independently.
-CONV3X3_INPUT_IMPL = "xla"
+# Input-layer (Cin=3) convs route separately (K=3 GEMMs waste MXU
+# lanes, so they may behave differently) — measured WITH the halo flip:
+# b25 halo+first 53.68 vs halo-only 53.96 (conv_halo_flip_ab).
+CONV3X3_INPUT_IMPL = "halo"
 
 
 # Depthwise-conv impl switch (same A/B pattern as CONV3X3_IMPL);

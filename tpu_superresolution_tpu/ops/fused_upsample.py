@@ -186,9 +186,11 @@ def composed_upsample_params(stages, last):
 
 
 # Impl switch for the composed conv ("xla" conv op | "halo" one-read
-# Pallas kernel) — the ~5x5 composed kernel at B=1 between other ops is
-# a candidate for the same in-model conv pathology (PARITY.md round 3).
-CONV_IMPL = "xla"
+# Pallas kernel).  Flipped per conv_halo_flip_ab (2026-08-19, v5e):
+# at the bench shape the halo upsampler conv contributes to the
+# halo+all win (53.28 vs 55.20 ms xla); conv_halo self-gates back to
+# the XLA op at VMEM-squeezed shapes.
+CONV_IMPL = "halo"
 
 
 def fused_pixelshuffle_reconstruct(y, stages, last, dtype=jnp.bfloat16):
