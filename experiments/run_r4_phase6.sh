@@ -1,0 +1,34 @@
+#!/bin/bash
+# Round-4 phase-6 queue: HAT packed-path PACKED_QK_NOPAD x group
+# re-sweep (VERDICT r3 item 2 — the last named lever for the ws=7
+# latency floor).  Waits for phase 5 to finish (one TPU process at a
+# time), then runs.  Same discipline: setsid launch, 3h timeout,
+# shared persistent compile cache, probe first, never kill mid-compile.
+set -u
+cd /root/repo
+mkdir -p experiments/logs
+export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
+LOG=experiments/logs/queue.log
+echo "[queue] phase6 waiting for phase5 ($(date -u +%FT%TZ))" >> "$LOG"
+until grep -q "phase5 ALL DONE" "$LOG"; do sleep 60; done
+echo "[queue] phase6 start $(date -u +%FT%TZ)" >> "$LOG"
+
+probe() {
+  until timeout 300 python -c "import jax; jax.devices(); print('TPU_UP')" 2>/dev/null | grep -q TPU_UP; do
+    echo "[queue] backend down, retry in 120s ($(date -u +%FT%TZ))" >> "$LOG"
+    sleep 120
+  done
+  echo "[queue] backend UP ($(date -u +%FT%TZ))" >> "$LOG"
+}
+
+run_one() {
+  local script=$1 tmo=$2 logname=$3; shift 3
+  probe
+  echo "[queue] run $logname ($(date -u +%FT%TZ))" >> "$LOG"
+  timeout "$tmo" python -u "$script" "$@" > "experiments/logs/$logname.log" 2>&1
+  echo "[queue] done $logname rc=$? ($(date -u +%FT%TZ))" >> "$LOG"
+}
+
+run_one experiments/hat_qk_nopad_ab.py 10800 hat_qk_nopad_ab
+echo "[queue] phase6 ALL DONE $(date -u +%FT%TZ)" >> "$LOG"

@@ -395,6 +395,41 @@ def test_packed_megakernel_matches_reference(rng, with_mask, variant):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
 
 
+@pytest.mark.parametrize("variant", ["v3", "stackv", "pair"])
+def test_packed_qk_nopad_matches_reference(rng, variant):
+    """PACKED_QK_NOPAD drops the q/k head-pad lanes from the packed
+    qkv layout (v keeps its ones-column pad lane for the MXU row-sum);
+    the dropped lanes are exact zeros in the score contraction so the
+    output must match the padded layout's reference exactly."""
+    import tpu_superresolution_tpu.ops.pallas.fused_block as fb
+
+    b, nwpad, n, c, nh = 2, 16, 16, 12, 3
+    r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)
+    x = r(b * nwpad, n, c)
+    weights = [r(c), r(c), r(c, 3 * c), r(3 * c), r(c, c), r(c),
+               r(c), r(c), r(c, 2 * c), r(2 * c), r(2 * c, c), r(c)]
+    bias = r(nh, n, n)
+    mask = np.where(
+        rng.random((nwpad, n, n)) > 0.8, -100.0, 0.0
+    ).astype(np.float32)
+    extra = r(b * nwpad, n, c)
+    scales = jnp.asarray([[1.25, 0.0], [1.0, 1.25]], jnp.float32)
+    sc = (c // nh) ** -0.5
+    old = fb.PACKED_QK_NOPAD
+    fb.PACKED_QK_NOPAD = True
+    try:
+        out = fb.fused_packed_windows_block(
+            x, *weights, bias, mask, sc, False,
+            extra=extra, branch_scales=scales, variant=variant,
+        )
+    finally:
+        fb.PACKED_QK_NOPAD = old
+    ref = fb._reference_packed(
+        x, *weights, bias, scales, mask, sc, False, extra=extra
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
 def test_packed_megakernel_backward_matches_jnp(rng):
     """Packed backward kernel grads == jnp vjp grads."""
     import tpu_superresolution_tpu.ops.pallas.fused_block as fb

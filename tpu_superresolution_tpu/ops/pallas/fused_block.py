@@ -99,6 +99,16 @@ PACKED_GROUP_BWD = 8
 # diagonal score block across 2/4 consecutive windows.
 PACKED_VARIANT = "v3"
 
+# Drop the q/k head-pad lanes from the PACKED forward's qkv layout:
+# HAT's hd=16 heads pad to hdp=32, doubling the qkv GEMM width (576 vs
+# 384 lanes at C=96/nh=6) and the per-head score-slice stride, on a
+# path that is latency-bound on its serial per-step chain (PARITY.md
+# round 3).  v keeps its padded lane — the MXU row-sum ones-column
+# lives there.  Bitwise identical (the dropped lanes are exact zeros
+# in the contraction).  A/B-gated, forward-only: the backward
+# recomputes from raw weights at the padded layout.
+PACKED_QK_NOPAD = False
+
 # Use the SPATIAL packed forward (fused_spatial_windows_block) for
 # ws%8!=0 blocks: window-row x blocks read straight from the spatial
 # array, killing the per-block XLA partition/pad/reverse copies the
@@ -243,7 +253,7 @@ def _kernel(x_ref, *refs,
             num_heads, hdp, ws, p, c, cdt, gelu_approx,
             has_extra, has_mask, n=None, sample_blocks=0,
             use_exp2=False, pairw=1, stackv=False, spatial_ws=0,
-            read_rc=None):
+            read_rc=None, hdp_qk=None):
     # Strip mode (default): blocks are (1, p*ws, ws, C) vertical strips,
     # grid (B, nchunks, nww), mask blocks (p, 1, n, n).  Packed mode
     # (n given, sample_blocks>0): blocks are (G, n, C) pre-partitioned
@@ -372,15 +382,23 @@ def _kernel(x_ref, *refs,
     # rows are zero, so the un-normalized pad lanes never leak.
     hd = c // num_heads
     mxu_sum = hdp > hd
-    koff = num_heads * hdp
+    # q/k sections may drop the head-pad lanes (PACKED_QK_NOPAD): their
+    # per-head stride is hdq while v keeps hdp (its pad lane carries the
+    # row-sum ones-column).  Zero pad lanes contribute exactly 0 to the
+    # score contraction, so both layouts are bitwise identical.
+    hdq = hdp if hdp_qk is None else hdp_qk
+    koff = num_heads * hdq
     voff = 2 * koff
     pp = p // pairw
     n2 = n * pairw
 
-    def head_slice(off, h):
+    def head_slice(off, h, width=None):
         # window tokens are contiguous rows, so regrouping pairw windows
         # per score block is the same free sublane split
-        return qkv[:, off + h * hdp : off + (h + 1) * hdp].reshape(pp, n2, hdp)
+        wdt = hdp if width is None else width
+        return qkv[:, off + h * wdt : off + (h + 1) * wdt].reshape(
+            pp, n2, wdt
+        )
 
     mterm = None
     if has_mask:
@@ -396,11 +414,11 @@ def _kernel(x_ref, *refs,
         # heads and window groups merge into a single [nH*PP] batch.
         nb = num_heads * pp
         qs = jnp.stack(
-            [head_slice(0, h) for h in range(num_heads)]
-        ).reshape(nb, n2, hdp)
+            [head_slice(0, h, hdq) for h in range(num_heads)]
+        ).reshape(nb, n2, hdq)
         ks = jnp.stack(
-            [head_slice(koff, h) for h in range(num_heads)]
-        ).reshape(nb, n2, hdp)
+            [head_slice(koff, h, hdq) for h in range(num_heads)]
+        ).reshape(nb, n2, hdq)
         S = jax.lax.dot_general(
             qs, ks, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -416,7 +434,7 @@ def _kernel(x_ref, *refs,
         ss = []
         for h in range(num_heads):
             s = jax.lax.dot_general(
-                head_slice(0, h), head_slice(koff, h),
+                head_slice(0, h, hdq), head_slice(koff, h, hdq),
                 (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )  # [PP, N2, N2]
@@ -1337,6 +1355,21 @@ def _packed_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
     w, bq, wp, bp, hdp, bias_eff = _prep_variant_weights(
         wqkv, bqkv, wproj, bproj, nh, c, scale, bias, use_exp2, pairw, n
     )
+    hd = c // nh
+    hdp_qk = None
+    if PACKED_QK_NOPAD and hdp > hd:
+        # Re-pack [C, 3*nh*hdp] -> [C, nh*hd | nh*hd | nh*hdp]: q/k drop
+        # their zero pad lanes, v keeps hdp (ones-column at lane hd).
+        koff = nh * hdp
+        qk_cols = np.concatenate(
+            [np.arange(h * hdp, h * hdp + hd) for h in range(nh)]
+        )
+        cols = np.concatenate(
+            [qk_cols, koff + qk_cols, 2 * koff + np.arange(koff)]
+        )
+        w = w[:, cols]
+        bq = bq[:, cols]
+        hdp_qk = hd
     dtype = x.dtype
     cdt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
     row = lambda a: a.reshape(1, -1)
@@ -1361,7 +1394,7 @@ def _packed_forward(x, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
         gelu_approx=gelu_approx,
         has_extra=extra is not None, has_mask=mask is not None,
         n=n, sample_blocks=sample_blocks,
-        use_exp2=use_exp2, pairw=pairw, stackv=stackv,
+        use_exp2=use_exp2, pairw=pairw, stackv=stackv, hdp_qk=hdp_qk,
     )
     in_specs = (
         [xspec]
