@@ -353,6 +353,29 @@ class TestConvHalo:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        atol=1e-4, rtol=1e-4)
 
+    def test_grads_bwd_impl_xla(self):
+        """cab_conv.BWD_IMPL='xla' routes the custom vjp through
+        lax.conv's transposed-conv backward; grads must match the
+        default gemm reference to fp32 accumulation noise."""
+        import tpu_superresolution_tpu.ops.pallas.cab_conv as cc
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((2, 8, 6, 4)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 4, 3)) * 0.2, jnp.float32)
+        b = jnp.asarray(rng.standard_normal(3), jnp.float32)
+        loss = lambda *a: jnp.sum(cc.conv3x3_halo(*a) ** 2)
+        grads = {}
+        orig = cc.BWD_IMPL
+        try:
+            for impl in ("gemm", "xla"):
+                cc.BWD_IMPL = impl
+                grads[impl] = jax.grad(loss, argnums=(0, 1, 2))(x, k, b)
+        finally:
+            cc.BWD_IMPL = orig
+        for a, b_ in zip(grads["gemm"], grads["xla"]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=1e-4, rtol=1e-4)
+
     def test_conv3x3_module_halo_impl(self):
         from tpu_superresolution_tpu.models.blocks import Conv3x3
 

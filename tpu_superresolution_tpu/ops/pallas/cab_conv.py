@@ -47,6 +47,14 @@ ENABLE = False
 # _VMEM_BUDGET via _fit_rows.
 CHUNK_ROWS = 32
 
+# Backward reference for conv3x3_halo's custom vjp: "gemm"
+# differentiates the 9-shifted-GEMM chain (9 transposed GEMMs), "xla"
+# differentiates lax.conv (XLA's transposed-conv vjp — the path the
+# round-2 63.2 ms SwinIR train step used before the halo flip).  Same
+# math either way; on-chip A/B decides
+# (experiments/swinir_train_conv_ab.py).
+BWD_IMPL = "gemm"
+
 # Scoped-VMEM budget per grid step (bytes).  The hardware stack limit
 # is 16 MB; the per-row estimates below count the pipeline blocks
 # DOUBLE-buffered (Mosaic multi-buffers every in/out block of a
@@ -291,7 +299,8 @@ def conv3x3_halo(x, kernel, bias, interpret=None):
         return op(*a), a
 
     def bwd(res, ct):
-        _, vjp = jax.vjp(conv3x3_gemm, *res)
+        ref = conv3x3_gemm if BWD_IMPL == "gemm" else conv_xla
+        _, vjp = jax.vjp(ref, *res)
         return vjp(ct.astype(res[0].dtype))
 
     op.defvjp(fwd, bwd)
