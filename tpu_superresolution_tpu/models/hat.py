@@ -58,6 +58,12 @@ Dtype = Any
 _TRUNC02 = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
 _LN_EPS = 1e-5
 
+# CAB 3x3-conv implementation when the module field is None: "gemm"
+# (9-shifted GEMMs — restored HAT 93.0 -> 87.0 ms, PARITY round 3),
+# "xla" (the conv op), or "halo" (one-read Pallas kernel; needs
+# cab_conv.STRICT relaxed at 256^2 — A/B experiments/hat_cab_halo_ab).
+CAB_CONV_IMPL = "gemm"
+
 
 class ChannelAttention(nn.Module):
     """RCAN SE gate (hat_arch.py:41-59): GAP -> 1x1 squeeze -> ReLU ->
@@ -89,7 +95,7 @@ class CAB(nn.Module):
     compress_ratio: int = 3
     squeeze_factor: int = 30
     dtype: Dtype = jnp.float32
-    conv_impl: str = "gemm"  # "gemm" | "xla"
+    conv_impl: Optional[str] = None  # None -> module global CAB_CONV_IMPL
 
     @nn.compact
     def __call__(self, x, ln_scale=None, ln_bias=None):
@@ -118,10 +124,11 @@ class CAB(nn.Module):
                 x = layernorm_spatial(
                     x.astype(self.dtype), ln_scale, ln_bias
                 )
-            y = Conv3x3(cm, dtype=self.dtype, impl=self.conv_impl,
+            impl = CAB_CONV_IMPL if self.conv_impl is None else self.conv_impl
+            y = Conv3x3(cm, dtype=self.dtype, impl=impl,
                         name="conv1")(x)
             y = nn.gelu(y, approximate=False)
-            y = Conv3x3(c, dtype=self.dtype, impl=self.conv_impl,
+            y = Conv3x3(c, dtype=self.dtype, impl=impl,
                         name="conv2")(y)
         return ChannelAttention(self.squeeze_factor, self.dtype, name="ca")(y)
 

@@ -55,6 +55,15 @@ CHUNK_ROWS = 32
 # (experiments/swinir_train_conv_ab.py).
 BWD_IMPL = "gemm"
 
+# Strict VMEM fit for the halo convs: refuse any shape whose
+# UNCONSTRAINED pipeline block (32 rows) does not fit, instead of
+# shrinking rows (estimate-shrunk rows ~10 still crashed the remote
+# Mosaic at 256^2 x C180, mosaic_diag 2026-08-19).  The crash evidence
+# is C=180-sized; smaller-C shapes (HAT CAB at C<=96) may compile at
+# shrunk rows — A/B via experiments/hat_cab_halo_ab.py before
+# relaxing per-shape.
+STRICT = True
+
 # Scoped-VMEM budget per grid step (bytes).  The hardware stack limit
 # is 16 MB; the per-row estimates below count the pipeline blocks
 # DOUBLE-buffered (Mosaic multi-buffers every in/out block of a
@@ -260,7 +269,7 @@ def conv3x3_halo(x, kernel, bias, interpret=None):
         # 3 input chunks double-buffered + concat/where/pad cdt copies
         # + fp32 acc + out double-buffered
         per_row = w * (cin * (6 * xb + 3 * cb) + cout * (4 + 2 * xb))
-        rows = _fit_rows(h, per_row, min_rows=2, strict=True)
+        rows = _fit_rows(h, per_row, min_rows=2, strict=STRICT)
         if rows == 0:
             # XLA conv beats the 9-shifted GEMM at VMEM-bound shapes
             # (46.52 vs 52.16 ms whole-SwinIR at 256^2, conv_impl_ab).
@@ -455,7 +464,7 @@ def dwconv3x3_halo(x, kernel, bias, interpret=None):
         # 3 input chunks double-buffered + fp32 concat/where/pad copies
         # + fp32 acc + out double-buffered
         per_row = w * c * (8 * xb + 16)
-        rows = _fit_rows(h, per_row, min_rows=2, strict=True)
+        rows = _fit_rows(h, per_row, min_rows=2, strict=STRICT)
         if rows == 0:
             return reference(x, kernel, bias)
         nr = pl.cdiv(h, rows)
