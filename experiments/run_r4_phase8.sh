@@ -31,5 +31,8 @@ run_one() {
   echo "[queue] done $logname rc=$? ($(date -u +%FT%TZ))" >> "$LOG"
 }
 
+# qk-nopad rerun first (phase 6 died on the Cin=3 halo Mosaic OOM at
+# HAT model.init, fixed by the cin<8 refusal + INPUT_IMPL="xla")
+run_one experiments/hat_qk_nopad_ab.py 10800 hat_qk_nopad_ab
 run_one experiments/hat_cab_halo_ab.py 10800 hat_cab_halo_ab
 echo "[queue] phase8 ALL DONE $(date -u +%FT%TZ)" >> "$LOG"

@@ -96,9 +96,15 @@ class ConvTranspose2dTorch(nn.Module):
 CONV3X3_IMPL = "halo"
 
 # Input-layer (Cin=3) convs route separately (K=3 GEMMs waste MXU
-# lanes, so they may behave differently) — measured WITH the halo flip:
-# b25 halo+first 53.68 vs halo-only 53.96 (conv_halo_flip_ab).
-CONV3X3_INPUT_IMPL = "halo"
+# lanes, so they may behave differently).  Back to "xla"
+# (2026-08-19b): the Cin=3 halo kernel's VMEM estimate is unmodelable
+# (lane-padded 3->128 per-tap reshape copies; HAT 70x70 conv_first
+# compiled to 17.15 MB scoped stack vs a 1.8 MB estimate and CRASHED
+# remote Mosaic at model.init), and its measured edge was ~0.5%
+# (b25 halo+first 53.68 vs halo-only 53.96, conv_halo_flip_ab) —
+# below the flip bar.  conv3x3_halo also self-refuses cin<8 so stale
+# "halo" settings cannot crash a compile.
+CONV3X3_INPUT_IMPL = "xla"
 
 
 # Depthwise-conv impl switch (same A/B pattern as CONV3X3_IMPL);

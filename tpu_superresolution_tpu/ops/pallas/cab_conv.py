@@ -264,6 +264,15 @@ def conv3x3_halo(x, kernel, bias, interpret=None):
     def forward(x, kernel, bias):
         bsz, h, w, cin = x.shape
         cout = kernel.shape[-1]
+        if cin < 8:
+            # Image-input convs (Cin=3): the lane-padded (3 -> 128)
+            # per-tap [rows*w, cin] reshapes are materialized copies
+            # the per_row estimate cannot model — HAT's 70x70x3 -> 96
+            # conv_first compiled to a 17.15 MB scoped-VMEM stack vs a
+            # ~1.8 MB estimate and crashed remote Mosaic (2026-08-19).
+            # The measured halo edge on input convs was ~0.5% at the
+            # bench shape — below the flip bar; refuse outright.
+            return conv_xla(x, kernel, bias)
         xb = x.dtype.itemsize
         cb = 2 if x.dtype == jnp.bfloat16 else 4
         # 3 input chunks double-buffered + concat/where/pad cdt copies
