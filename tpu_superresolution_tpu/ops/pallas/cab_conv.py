@@ -264,14 +264,17 @@ def conv3x3_halo(x, kernel, bias, interpret=None):
     def forward(x, kernel, bias):
         bsz, h, w, cin = x.shape
         cout = kernel.shape[-1]
-        if cin < 8:
-            # Image-input convs (Cin=3): the lane-padded (3 -> 128)
-            # per-tap [rows*w, cin] reshapes are materialized copies
-            # the per_row estimate cannot model — HAT's 70x70x3 -> 96
-            # conv_first compiled to a 17.15 MB scoped-VMEM stack vs a
-            # ~1.8 MB estimate and crashed remote Mosaic (2026-08-19).
-            # The measured halo edge on input convs was ~0.5% at the
-            # bench shape — below the flip bar; refuse outright.
+        if (cin < 8 or w % 8 != 0) and not interpret:
+            # Refuse the VMEM-unmodelable regimes: (a) image-input
+            # convs (Cin=3) — the lane-padded (3 -> 128) per-tap
+            # [rows*w, cin] reshapes are materialized copies; HAT's
+            # 70x70x3 -> 96 conv_first compiled to a 17.15 MB
+            # scoped-VMEM stack vs a ~1.8 MB estimate and crashed
+            # remote Mosaic (2026-08-19); (b) sublane-unaligned widths
+            # (HAT's ws=7 pads to w=70/259) — every tap slice/reshape
+            # crosses tile boundaries and materializes relayouts the
+            # estimate cannot see.  Every measured halo win is at
+            # w in {64, 256}; the input-conv edge was ~0.5%.
             return conv_xla(x, kernel, bias)
         xb = x.dtype.itemsize
         cb = 2 if x.dtype == jnp.bfloat16 else 4
@@ -380,11 +383,16 @@ def conv_halo(x, kernel, bias, pad, interpret=None):
     def forward(x, kernel, bias):
         bsz, h, w, cin = x.shape
         cout = kernel.shape[-1]
+        if (cin < 8 or w % 8 != 0) and not interpret:
+            # same VMEM-unmodelable regimes as conv3x3_halo (tiny-cin
+            # lane-pad reshapes / sublane-unaligned widths); interpret
+            # mode has no Mosaic so CPU tests still drive the kernel
+            return reference(x, kernel, bias)
         xb = x.dtype.itemsize
         cb = 2 if x.dtype == jnp.bfloat16 else 4
         per_row = w * (cin * (6 * xb + 3 * cb) + cout * (4 + 2 * xb))
         rows = _fit_rows(h, per_row, min_rows=max(plo, phi, 2),
-                         halo=max(plo + phi, 2), strict=True)
+                         halo=max(plo + phi, 2), strict=STRICT)
         if rows == 0 or rows < max(plo, phi):
             return reference(x, kernel, bias)  # tiny input or VMEM-bound
         nr = pl.cdiv(h, rows)
@@ -469,6 +477,9 @@ def dwconv3x3_halo(x, kernel, bias, interpret=None):
 
     def forward(x, kernel, bias):
         bsz, h, w, c = x.shape
+        if w % 8 != 0 and not interpret:
+            # sublane-unaligned widths: see conv3x3_halo
+            return reference(x, kernel, bias)
         xb = x.dtype.itemsize
         # 3 input chunks double-buffered + fp32 concat/where/pad copies
         # + fp32 acc + out double-buffered
