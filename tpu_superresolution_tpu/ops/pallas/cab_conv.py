@@ -49,11 +49,13 @@ CHUNK_ROWS = 32
 
 # Backward reference for conv3x3_halo's custom vjp: "gemm"
 # differentiates the 9-shifted-GEMM chain (9 transposed GEMMs), "xla"
-# differentiates lax.conv (XLA's transposed-conv vjp — the path the
-# round-2 63.2 ms SwinIR train step used before the halo flip).  Same
-# math either way; on-chip A/B decides
-# (experiments/swinir_train_conv_ab.py).
-BWD_IMPL = "gemm"
+# differentiates lax.conv (XLA's transposed-conv vjp).  Same math
+# either way.  Measured 2026-08-19 (swinir_train_conv_ab, b8 64px x4
+# dp0.1, same-day interleaved): xla-convs 74.59 / halo+gemm-bwd 76.97
+# / halo+xla-bwd 74.98 ms median — the gemm backward cost the halo
+# flip 2.4% on the train step; the xla backward recovers it to within
+# noise while the halo forward keeps its inference win.
+BWD_IMPL = "xla"
 
 # Strict VMEM fit for the halo convs: refuse any shape whose
 # UNCONSTRAINED pipeline block (32 rows) does not fit, instead of
