@@ -43,6 +43,10 @@ def build_argparser():
     ap.add_argument("--min_lr", type=float, default=2e-6)
     ap.add_argument("--grad_clip", type=float, default=1.0)
     ap.add_argument("--workdir", type=str, default=".")
+    ap.add_argument("--trace", type=str, default=None,
+                    help="write a chrome-trace timeline (Perfetto/chrome://tracing)"
+                         " of per-epoch train/val spans to this path"
+                         " (tunnel-safe host-side profiling artifact)")
     ap.add_argument("--dp", type=int, default=0,
                     help="data-parallel shards over the device mesh (0 = single device)")
     ap.add_argument("--early_stop_patience", type=int, default=None,
@@ -160,7 +164,8 @@ def main(argv=None):
               f"trainable={count_trainable(mask)}/{len(jax.tree.leaves(mask))}")
 
     t_all = time.time()
-    trainer = Trainer(model, mcfg, dcfg, tcfg, workdir=args.workdir)
+    trainer = Trainer(model, mcfg, dcfg, tcfg, workdir=args.workdir,
+                      trace_path=args.trace)
     trainer.fit(state, train_loader, valid_loader, rng_key=key)
     print(f"[time] total: {time.time() - t_all:.1f}s")
     print(f"[done] best_val_loss={trainer.best_val_loss:.6f}, "

@@ -71,6 +71,10 @@ def build_argparser():
     ap.add_argument("--freeze_regex", type=str, default=None)
     ap.add_argument("--ft_lr", type=float, default=None)
     ap.add_argument("--workdir", type=str, default=".")
+    ap.add_argument("--trace", type=str, default=None,
+                    help="write a chrome-trace timeline (Perfetto/chrome://tracing)"
+                         " of per-epoch train/val spans to this path"
+                         " (tunnel-safe host-side profiling artifact)")
     ap.add_argument("--dp", type=int, default=0,
                     help="data-parallel shards over the device mesh (0 = single device)")
     # unet2d sizing (the reference's earlier train.py exposed
@@ -246,7 +250,8 @@ def main(argv=None):
         state, _ = load_checkpoint(args.resume, target_state=state)
         print("[ckpt] restored optimizer state")
 
-    trainer = Trainer(model, mcfg, dcfg, tcfg, workdir=args.workdir)
+    trainer = Trainer(model, mcfg, dcfg, tcfg, workdir=args.workdir,
+                      trace_path=args.trace)
     trainer.fit(state, train_loader, valid_loader, rng_key=key)
     print(f"[ALL][time] total train time={time.time() - t_all:.1f}s")
 

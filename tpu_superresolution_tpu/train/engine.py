@@ -247,6 +247,10 @@ class Trainer:
     train_config: TrainConfig
     workdir: str = "."
     log: Callable[[str], None] = print
+    # chrome-trace timeline path (utils/trace.py) — per-epoch train/val
+    # spans + loss/PSNR counters; the tunnel-safe profiling artifact
+    # (XPlane hangs over the axon tunnel).  None = off.
+    trace_path: Optional[str] = None
 
     history: Dict[str, list] = field(default_factory=lambda: {"train": [], "val": []})
     best_val_loss: float = math.inf
@@ -317,8 +321,15 @@ class Trainer:
                 self.model, tcfg.loss, convention, dcfg.scale_int, norm=norm
             )
 
+        rec = None
+        if self.trace_path:
+            from tpu_superresolution_tpu.utils.trace import TraceRecorder
+
+            rec = TraceRecorder()
+
         t_start = time.time()
         for epoch in range(1, tcfg.epochs + 1):
+            ep_t0 = rec.elapsed_s if rec else 0.0
             t_ep = time.time()
             # ---- train ----
             losses = []
@@ -363,6 +374,13 @@ class Trainer:
                     "Model produced NaN/Inf loss — lower max_lr / check init"
                 )
             t_tr = time.time() - t_ep
+            if rec:
+                rec.complete(
+                    f"epoch {epoch}", ep_t0, t_tr, track="train",
+                    loss=tr_loss, data_s_per_batch=data_t / n_steps,
+                    step_s_per_batch=step_t / n_steps,
+                )
+                rec.counter("train_loss", tr_loss)
 
             # ---- validate (every val_every epochs; always the last) ----
             do_val = (
@@ -394,6 +412,13 @@ class Trainer:
             val_psnr = agg["psnr_sum"] / max(1.0, agg["n"])
             val_ssim = agg["ssim_sum"] / max(1.0, agg["n"])
             t_val = time.time() - t_val0
+            if rec:
+                rec.complete(
+                    f"val {epoch}", rec.elapsed_s - t_val, t_val,
+                    track="val", loss=val_loss, psnr=val_psnr,
+                    ssim=val_ssim,
+                )
+                rec.counter("val_psnr", val_psnr)
 
             self.history["val"].append(val_loss)
 
@@ -450,6 +475,9 @@ class Trainer:
 
         self.save_loss_curve(f"{self.workdir}/loss_curve_{dcfg.scale}.png")
         self.save_run_report(f"{self.workdir}/run_{dcfg.scale}.json")
+        if rec:
+            rec.save(self.trace_path)
+            self.log(f"[trace] saved chrome-trace timeline to {self.trace_path}")
         return state
 
     def save_run_report(self, path: str):
