@@ -19,8 +19,8 @@ EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 200
 def main():
     from tpu_superresolution_tpu.cli.train import main as train_main
 
-    run_proof("dat_proof_", train_main, lambda root, workdir: [
-        "--data_root", root, "--scale", "X2", "--model", "dat",
+    run_proof("dat_proof_", train_main, lambda root, workdir, scale: [
+        "--data_root", root, "--scale", scale, "--model", "dat",
         "--epochs", str(EPOCHS), "--batch_size", "8", "--patch_size", "32",
         "--lr", "2e-4", "--scheduler", "Cosine",
         "--embed_dim", "60", "--t_depths", "2,2,2,2",

@@ -10,25 +10,29 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
 
-def run_proof(prefix, cli_main, build_args, scale="X2"):
-    """build_args(root, workdir) -> argv for cli_main.  Returns the
-    evaluate CLI's result dict.  PROOF_STYLE=grains switches the
+def run_proof(prefix, cli_main, build_args, scale=None):
+    """build_args(root, workdir, scale) -> argv for cli_main.  Returns
+    the evaluate CLI's result dict.  PROOF_STYLE=grains switches the
     synthetic data to the sharp-edged ellipse fields (lower bicubic
     floor — discriminative between architectures); default stays the
-    round-3 smooth set so recorded numbers remain comparable."""
+    round-3 smooth set so recorded numbers remain comparable.
+    PROOF_SCALE=X4 mirrors BASELINE.md's X2/X4 anchor pair; HR images
+    grow to 192^2 there so native-LR patch sizes (LR 48^2) still fit."""
     from util_fakedata import make_deeprock_dataset
 
     style = os.environ.get("PROOF_STYLE", "smooth")
+    scale = scale or os.environ.get("PROOF_SCALE", "X2")
+    hr_size = int(os.environ.get("PROOF_HR", "96" if scale == "X2" else "192"))
     tmp = tempfile.mkdtemp(prefix=prefix)
     root = make_deeprock_dataset(
-        tmp, n_per_split=48, hr_size=96, scale=scale, seed=7, style=style,
+        tmp, n_per_split=48, hr_size=hr_size, scale=scale, seed=7, style=style,
     )
-    print("[proof] style:", style, flush=True)
+    print("[proof] style:", style, "scale:", scale, "hr:", hr_size, flush=True)
     print("[proof] dataset:", root, flush=True)
     workdir = os.path.join(tmp, "run")
     os.makedirs(workdir, exist_ok=True)
 
-    cli_main(build_args(str(root), workdir))
+    cli_main(build_args(str(root), workdir, scale))
 
     from tpu_superresolution_tpu.cli.evaluate import main as evaluate_main
 

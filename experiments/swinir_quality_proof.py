@@ -20,8 +20,8 @@ EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 300
 def main():
     from tpu_superresolution_tpu.cli.finetune import main as finetune_main
 
-    run_proof("swinir_proof_", finetune_main, lambda root, workdir: [
-        "--data_root", root, "--scale", "X2",
+    run_proof("swinir_proof_", finetune_main, lambda root, workdir, scale: [
+        "--data_root", root, "--scale", scale,
         "--epochs", str(EPOCHS), "--batch_size", "8", "--lr_patch", "32",
         "--lr", "2e-4", "--min_lr", "1e-5",
         "--embed_dim", "60", "--depths", "4,4,4,4", "--num_heads", "6,6,6,6",

@@ -19,8 +19,8 @@ EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
 def main():
     from tpu_superresolution_tpu.cli.train import main as train_main
 
-    run_proof("unet2d_proof_", train_main, lambda root, workdir: [
-        "--data_root", root, "--scale", "X2",
+    run_proof("unet2d_proof_", train_main, lambda root, workdir, scale: [
+        "--data_root", root, "--scale", scale,
         "--model", "unet2d", "--base_channels", "32", "--depth", "3",
         "--residual", "--loss", "mse",
         "--epochs", str(EPOCHS), "--batch_size", "8", "--patch_size", "48",
