@@ -356,3 +356,44 @@ def test_compare_cli_side_by_side(dataset, tmp_path, capsys):
         w, h = panel.size
     # five panels (LR upscaled, bicubic, A, B, HR) at HR size + padding
     assert w >= 5 * 48 and h >= 48
+
+
+def test_train_ema_then_evaluate_ema_self_ensemble(dataset, tmp_path, capsys):
+    """--ema_decay records EMA weights; evaluate --ema loads them and
+    --self_ensemble runs the x8 TTA path end to end."""
+    from tpu_superresolution_tpu.cli.train import main as train_main
+
+    train_main([
+        "--data_root", str(dataset), "--scale", "X2",
+        "--model", "unet2d", "--base_channels", "4", "--depth", "1",
+        "--epochs", "2", "--batch_size", "4", "--patch_size", "32",
+        "--lr", "1e-3", "--ema_decay", "0.9",
+        "--workdir", str(tmp_path),
+    ])
+    capsys.readouterr()
+
+    from tpu_superresolution_tpu.cli.evaluate import main as eval_main
+
+    res = eval_main([
+        "--data_root", str(dataset), "--scale", "X2",
+        "--ckpt", str(tmp_path / "best_X2"),
+        "--ema", "--self_ensemble", "--save_n", "0", "--no_baseline",
+    ])
+    out = capsys.readouterr().out
+    assert "[ckpt] using EMA weights" in out
+    assert np.isfinite(res["psnr"]) and res["n"] == 6
+
+    # --ema on a checkpoint without EMA fails with a clear message
+    train_main([
+        "--data_root", str(dataset), "--scale", "X2",
+        "--model", "unet2d", "--base_channels", "4", "--depth", "1",
+        "--epochs", "1", "--batch_size", "4", "--patch_size", "32",
+        "--workdir", str(tmp_path / "noema"),
+    ])
+    capsys.readouterr()
+    with pytest.raises(SystemExit, match="no EMA subtree"):
+        eval_main([
+            "--data_root", str(dataset), "--scale", "X2",
+            "--ckpt", str(tmp_path / "noema" / "best_X2"),
+            "--ema", "--no_baseline",
+        ])

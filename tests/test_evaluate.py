@@ -306,3 +306,69 @@ def test_tiled_forward_chunked_under_jit(rng):
     run = jax.jit(lambda x: tiled_forward(fn, x, 2, 32, 8, max_tile_batch=3))
     x = jnp.asarray(rng.random((1, 48, 48, 1), dtype=np.float32))
     np.testing.assert_allclose(np.asarray(run(x)), np.asarray(fn(x)), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# x8 geometric self-ensemble (EvalConfig.self_ensemble)
+# ---------------------------------------------------------------------------
+
+
+class _AnisoModel:
+    """native_lr scale-1 'model' that is NOT dihedral-equivariant, so
+    the ensemble output genuinely differs from the plain forward."""
+
+    def apply(self, variables, x, train=False):
+        return x * 1.5 + jnp.cumsum(x, axis=2) * 0.01
+
+
+def test_self_ensemble_matches_manual_average(rng):
+    """Ensemble forward == mean over the 8 dihedral variants of the
+    plain forward, on a NON-square input (exercises the H/W-swapped
+    branches and the inverse mapping)."""
+    from tpu_superresolution_tpu.evaluate.runner import _geo, _geo_inv
+
+    x = jnp.asarray(rng.random((2, 20, 28, 1), dtype=np.float32))
+    plain = Evaluator(_AnisoModel(), {}, 1, "native_lr",
+                      EvalConfig(), log=lambda s: None).forward_fn()
+    ens = Evaluator(_AnisoModel(), {}, 1, "native_lr",
+                    EvalConfig(self_ensemble=True), log=lambda s: None).forward_fn()
+    manual = np.mean(
+        [np.asarray(_geo_inv(plain(_geo(x, k, f)), k, f))
+         for k in range(4) for f in (False, True)], axis=0)
+    got = np.asarray(ens(x))
+    assert not np.allclose(got, np.asarray(plain(x)), atol=1e-4)  # TTA does something
+    np.testing.assert_allclose(got, manual, atol=1e-6)
+
+
+def test_self_ensemble_equivariant_model_is_identity(rng):
+    """For an exactly dihedral-equivariant fn (pixelwise on a nearest
+    upsample), every variant inverse-maps to the same output — so the
+    ensemble must equal the plain forward.  This pins the inverse
+    transform: any misalignment would show up as a mismatch."""
+    class _EquivModel:
+        def apply(self, variables, x, train=False):
+            y = jnp.repeat(jnp.repeat(x, 2, 1), 2, 2)
+            return y * 2.0 + jnp.sin(y)
+
+    x = jnp.asarray(rng.random((1, 18, 26, 1), dtype=np.float32))
+    plain = Evaluator(_EquivModel(), {}, 2, "native_lr",
+                      EvalConfig(), log=lambda s: None).forward_fn()
+    ens = Evaluator(_EquivModel(), {}, 2, "native_lr",
+                    EvalConfig(self_ensemble=True), log=lambda s: None).forward_fn()
+    np.testing.assert_allclose(
+        np.asarray(ens(x)), np.asarray(plain(x)), atol=1e-5)
+
+
+def test_self_ensemble_tiled_pre_upscale(dataset):
+    """Full runner path with tiling + pre-upscale + identity model:
+    bicubic pre-upscale commutes with the dihedral group (symmetric
+    separable kernel), so ensemble PSNR == plain PSNR == bicubic."""
+    idx = PairedIndex(str(dataset), "test", "X2")
+    ev = Evaluator(
+        _IdentityModel(), {}, 2, "pre_upscale",
+        EvalConfig(tile_size=48, tile_overlap=8, self_ensemble=True),
+        log=lambda s: None,
+    )
+    res = ev.run(Loader(idx, 2))
+    base = bicubic_baseline(Loader(idx, 2), 2)
+    assert abs(res["psnr"] - base["psnr"]) < 1e-3

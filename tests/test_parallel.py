@@ -189,3 +189,33 @@ def test_dp_hat_spatial_cab_flags():
     finally:
         fb.SPATIAL_PACKED = orig_sp
         cc.ENABLE = orig_cab
+
+
+def test_dp_ema_matches_single_device(setup):
+    """EMA updates run inside the shard_map step on psummed grads, so
+    the dp EMA must stay replicated and equal the single-device EMA."""
+    model, variables, tcfg, lr, hr = setup
+    mesh = make_mesh(8)
+    dp_step = make_dp_train_step(model, "mse", "native_lr", 1, None, False, mesh)
+    single_step = make_train_step(model, "mse", "native_lr", 1, None, False)
+
+    def fresh(ema):
+        params = jax.tree.map(
+            lambda x: jnp.array(np.asarray(x)), variables["params"]
+        )
+        tx = build_optimizer(tcfg, 10, params)
+        return create_train_state(model, params, {}, tx, ema_decay=ema)
+
+    key = jax.random.key(5)
+    s1, _ = single_step(fresh(0.9), lr, hr, key)
+    s2 = replicate(fresh(0.9), mesh)
+    lr_s, hr_s, w_s = shard_batch((lr, hr, jnp.ones(16)), mesh)
+    s2, _ = dp_step(s2, lr_s, hr_s, key, w_s)
+
+    for a, b in zip(jax.tree.leaves(s1.ema_params), jax.tree.leaves(s2.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # and ema != live params after one step
+    assert not all(
+        np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(s2.ema_params), jax.tree.leaves(s2.params))
+    )

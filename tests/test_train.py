@@ -273,3 +273,89 @@ def test_load_weights_only_rejects_wrong_width(tmp_path, rng):
 
     with pytest.raises(ValueError, match="shape"):
         load_weights_only(str(tmp_path / "ck"))
+
+
+# ---------------------------------------------------------------------------
+# EMA params (TrainConfig.ema_decay)
+# ---------------------------------------------------------------------------
+
+
+def test_ema_update_math(rng):
+    """ema starts == params and follows e' = d*e + (1-d)*p' per step;
+    the live params are untouched by EMA."""
+    cfg = UNet2DConfig(base_channels=4, depth=1, norm="none")
+    model = build_model(cfg)
+    x = jnp.asarray(rng.random((2, 16, 16, 1), dtype=np.float32))
+    y = jnp.asarray(rng.random((2, 16, 16, 1), dtype=np.float32))
+    variables = model.init(jax.random.key(0), x, train=False)
+    tcfg = TrainConfig(epochs=1, lr=1e-2, scheduler="none")
+    tx = build_optimizer(tcfg, 10, variables["params"])
+    d = 0.75
+    state = create_train_state(model, variables["params"], {}, tx, ema_decay=d)
+    p0 = jax.tree.map(np.asarray, state.params)
+    e0 = jax.tree.map(np.asarray, state.ema_params)
+    jax.tree.map(np.testing.assert_array_equal, e0, p0)
+
+    step = make_train_step(model, "mse", "native_lr", 1, None, False)
+    st1, _ = step(state, x, y, jax.random.key(1))
+    p1 = jax.tree.map(np.asarray, st1.params)
+    expect = jax.tree.map(lambda e, p: d * e + (1 - d) * p, e0, p1)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+        jax.tree.map(np.asarray, st1.ema_params), expect,
+    )
+    # params moved and differ from ema after step 1
+    assert not np.allclose(
+        jax.tree.leaves(p1)[0], jax.tree.leaves(jax.tree.map(np.asarray, st1.ema_params))[0]
+    )
+    # eval_params property picks the EMA side
+    np.testing.assert_array_equal(
+        jax.tree.leaves(jax.tree.map(np.asarray, st1.eval_params))[0],
+        jax.tree.leaves(jax.tree.map(np.asarray, st1.ema_params))[0],
+    )
+
+
+def test_ema_checkpoint_roundtrip(tmp_path, rng):
+    """save_checkpoint writes the EMA subtree; load_ema_params reads it
+    back; resume with an EMA-enabled target restores it."""
+    from tpu_superresolution_tpu.train.checkpoint import (
+        load_checkpoint,
+        load_ema_params,
+        save_checkpoint,
+    )
+
+    cfg = UNet2DConfig(base_channels=4, depth=1, norm="none")
+    model = build_model(cfg)
+    x = jnp.asarray(rng.random((1, 16, 16, 1), dtype=np.float32))
+    variables = model.init(jax.random.key(0), x, train=False)
+    tcfg = TrainConfig(epochs=1, lr=1e-2, scheduler="none")
+    tx = build_optimizer(tcfg, 10, variables["params"])
+    state = create_train_state(model, variables["params"], {}, tx, ema_decay=0.9)
+    step = make_train_step(model, "mse", "native_lr", 1, None, False)
+    state, _ = step(state, x, x, jax.random.key(1))
+
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, state, cfg, extra={"epoch": 1})
+    ema = load_ema_params(path)
+    assert ema is not None
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0),
+        ema, jax.tree.map(np.asarray, state.ema_params),
+    )
+
+    # resume: target with EMA enabled gets the saved EMA back
+    # (fresh init — the donating step above consumed `variables`' buffers)
+    variables = model.init(jax.random.key(3), x, train=False)
+    target = create_train_state(model, variables["params"], {}, tx, ema_decay=0.9)
+    restored, meta = load_checkpoint(path, target_state=target)
+    assert meta["ema_decay"] == 0.9
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0),
+        restored.ema_params, ema,
+    )
+
+    # non-EMA checkpoints keep the old layout: no ema subtree
+    state2 = create_train_state(model, variables["params"], {}, tx)
+    path2 = str(tmp_path / "ck2")
+    save_checkpoint(path2, state2, cfg)
+    assert load_ema_params(path2) is None

@@ -124,6 +124,12 @@ def build_argparser():
     ap.add_argument("--save_indices", type=str, default="",
                     help="comma-separated indices; overrides save_every")
     ap.add_argument("--rescale_png", action="store_true")
+    ap.add_argument("--ema", action="store_true",
+                    help="evaluate the EMA weights saved alongside the "
+                         "checkpoint (--ema_decay at train time)")
+    ap.add_argument("--self_ensemble", action="store_true",
+                    help="x8 geometric TTA (rot90 x flips, averaged) — "
+                         "~8x inference cost for typically +0.1-0.2 dB")
     ap.add_argument("--tile", type=int, default=0,
                     help="tile size for tiled inference (0 = whole image).  "
                          "Recommended production setting (measured on v5e at "
@@ -196,6 +202,15 @@ def main(argv=None):
         model = build_model(mcfg)
         restored, meta = load_weights_only(args.ckpt)
         variables = {"params": restored["params"]}
+        if args.ema:
+            from tpu_superresolution_tpu.train.checkpoint import load_ema_params
+
+            ema = load_ema_params(args.ckpt)
+            if ema is None:
+                raise SystemExit(f"--ema: no EMA subtree in {args.ckpt} "
+                                 "(train with --ema_decay to record one)")
+            variables["params"] = ema
+            print("[ckpt] using EMA weights")
         if restored.get("batch_stats"):
             variables["batch_stats"] = restored["batch_stats"]
         print(f"[ckpt] {args.ckpt}: model={mcfg.name} epoch={meta.get('epoch')}")
@@ -226,6 +241,7 @@ def main(argv=None):
         save_start=args.save_start,
         save_indices=save_indices,
         rescale_png=args.rescale_png,
+        self_ensemble=args.self_ensemble,
     )
     mesh = None
     if args.dp and args.dp > 1:

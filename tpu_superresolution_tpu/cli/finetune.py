@@ -51,6 +51,9 @@ def build_argparser():
                     help="data-parallel shards over the device mesh (0 = single device)")
     ap.add_argument("--early_stop_patience", type=int, default=None,
                     help="stop after N epochs without val-loss improvement")
+    ap.add_argument("--ema_decay", type=float, default=0.0,
+                    help="EMA of params (e.g. 0.999); validation and "
+                         "best checkpoints use the EMA weights. 0 = off")
     ap.add_argument("--val_every", type=int, default=1,
                     help="validate every N epochs (always the last; checkpoints/early-stop only see validated epochs)")
     # architecture overrides (default = SwinIR-M, the reference's config;
@@ -122,6 +125,7 @@ def main(argv=None):
         freeze_regex=args.freeze_regex, finetune=True,
         early_stop_patience=args.early_stop_patience,
         val_every=args.val_every,
+        ema_decay=args.ema_decay or None,
         dp_shards=args.dp,
     )
 
@@ -155,7 +159,8 @@ def main(argv=None):
             print(f"[weights] loaded orbax checkpoint: {args.weights}")
 
     tx = build_optimizer(tcfg, len(train_loader), params)
-    state = create_train_state(model, params, batch_stats, tx)
+    state = create_train_state(model, params, batch_stats, tx,
+                               ema_decay=tcfg.ema_decay)
     if args.freeze_regex:
         from tpu_superresolution_tpu.train.freeze import count_trainable, freeze_mask
 

@@ -63,6 +63,9 @@ def build_argparser():
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--time_log_every", type=int, default=0,
                     help="log within-epoch data/step timing every N batches (0=off)")
+    ap.add_argument("--ema_decay", type=float, default=0.0,
+                    help="EMA of params (e.g. 0.999); validation and "
+                         "best checkpoints use the EMA weights. 0 = off")
     ap.add_argument("--val_every", type=int, default=1,
                     help="validate every N epochs (always the last; checkpoints/early-stop only see validated epochs)")
     ap.add_argument("--resume", type=str, default=None,
@@ -191,6 +194,7 @@ def main(argv=None):
         early_stop_patience=args.early_stop_patience,
         time_log_every=args.time_log_every,
         val_every=args.val_every,
+        ema_decay=args.ema_decay or None,
         dp_shards=args.dp,
     )
 
@@ -242,7 +246,8 @@ def main(argv=None):
         print(f"[ckpt] loaded model weights from {args.resume} (epoch {meta.get('epoch')})")
 
     tx = build_optimizer(tcfg, len(train_loader), params)
-    state = create_train_state(model, params, batch_stats, tx)
+    state = create_train_state(model, params, batch_stats, tx,
+                               ema_decay=tcfg.ema_decay)
 
     if args.resume and not args.finetune:
         from tpu_superresolution_tpu.train.checkpoint import load_checkpoint

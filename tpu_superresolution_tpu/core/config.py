@@ -257,6 +257,10 @@ class TrainConfig:
     # default.  Checkpoint selection and early stopping only see
     # validated epochs.
     val_every: int = 1
+    # EMA of params (BasicSR-style, e.g. 0.999); None/0 = off.
+    # Validation + best-checkpoint selection score the EMA weights;
+    # checkpoints carry them under <ckpt>/ema (evaluate --ema).
+    ema_decay: Optional[float] = None
     # TPU specifics
     bf16_compute: bool = True
     remat: bool = False
@@ -278,6 +282,11 @@ class EvalConfig:
     save_start: int = 0
     save_indices: Tuple[int, ...] = ()
     rescale_png: bool = False
+    # x8 geometric self-ensemble (test-time augmentation): average the
+    # SR output over all 4 rotations x 2 flips of the input.  Standard
+    # SR practice (EDSR/SwinIR "+" results); the reference has no
+    # equivalent.  ~8x inference FLOPs for typically +0.1-0.2 dB.
+    self_ensemble: bool = False
 
 
 # --------------------------------------------------------------------------

@@ -6,7 +6,9 @@ badness stats (:172-178), bilinear spatial realign fallback (:181-184),
 PSNR fp32 + SSIM, per-sample save modes first-N / every-Nth-from-start /
 explicit index list (:63-70,199-225) with files idx_{i:06d}_{lr,hr,sr}.png,
 wall-time + throughput report.  Adds the TPU-native tiled whole-image
-path and an MPix/s metric (the BASELINE.json north star).
+path, an MPix/s metric (the BASELINE.json north star), and an optional
+x8 geometric self-ensemble (EvalConfig.self_ensemble — standard SR
+test-time augmentation the reference lacks).
 """
 
 from __future__ import annotations
@@ -48,6 +50,24 @@ def save_tensor_as_png(x: np.ndarray, path, per_image_rescale: bool = False):
     tensor_to_pil(x, per_image_rescale).save(str(path))
 
 
+def _geo(x, k: int, flip: bool):
+    """One of the 8 dihedral transforms on an NHWC batch (flip first,
+    then k quarter-turns over the spatial axes)."""
+    if flip:
+        x = x[:, :, ::-1]
+    if k:
+        x = jnp.rot90(x, k, axes=(1, 2))
+    return x
+
+
+def _geo_inv(x, k: int, flip: bool):
+    if k:
+        x = jnp.rot90(x, -k, axes=(1, 2))
+    if flip:
+        x = x[:, :, ::-1]
+    return x
+
+
 def _save_decision(i: int, cfg: EvalConfig) -> bool:
     """Reference selection rules (evaluate.py:63-70,199-207):
     save_indices has priority, then save_every from save_start, else
@@ -81,8 +101,7 @@ class Evaluator:
         def tile_apply(batch):
             return self.model.apply(self.variables, batch, train=False)
 
-        @jax.jit
-        def run(lr):
+        def pipeline(lr):
             if self.convention == "pre_upscale":
                 lr = pre_upscale_batch(lr, self.scale)
             if ecfg.tile_size:
@@ -103,6 +122,21 @@ class Evaluator:
             else:
                 out = tile_apply(lr)
             return out.astype(jnp.float32)
+
+        @jax.jit
+        def run(lr):
+            if not ecfg.self_ensemble:
+                return pipeline(lr)
+            # x8 dihedral TTA: each variant is a statically-shaped
+            # branch of one jit program (rotations swap H/W — fine
+            # under jit, the grid/tiling is re-traced per orientation);
+            # outputs are inverse-mapped and averaged in fp32.
+            acc = None
+            for k in range(4):
+                for flip in (False, True):
+                    o = _geo_inv(pipeline(_geo(lr, k, flip)), k, flip)
+                    acc = o if acc is None else acc + o
+            return acc / 8.0
 
         return run
 

@@ -42,7 +42,15 @@ def save_checkpoint(
         shutil.rmtree(path)
     ckptr.save(path / "state", tree)
     ckptr.wait_until_finished()
+    if getattr(state, "ema_params", None) is not None:
+        # EMA weights ride in their own subtree so checkpoints without
+        # EMA keep the exact same layout (template restores unchanged);
+        # consumers opt in via load_ema_params / evaluate --ema.
+        ckptr.save(path / "ema", {"params": state.ema_params})
+        ckptr.wait_until_finished()
     meta = dict(extra or {})
+    if getattr(state, "ema_params", None) is not None:
+        meta["ema_decay"] = float(getattr(state, "ema_decay", 0.0))
     if model_config is not None:
         meta["model_config"] = model_config.to_dict()
     with open(path / "meta.json", "w") as f:
@@ -95,8 +103,26 @@ def load_checkpoint(path: str, target_state=None):
             opt_state=tree["opt_state"],
             step=tree["step"],
         )
+        if getattr(target_state, "ema_params", None) is not None:
+            # resume an EMA run: restore the saved EMA if the checkpoint
+            # has one, else re-seed it from the restored params
+            ema = load_ema_params(path)
+            restored = restored.replace(
+                ema_params=ema if ema is not None else tree["params"]
+            )
         return restored, meta
     return tree, meta
+
+
+def load_ema_params(path: str):
+    """EMA weights saved alongside a checkpoint (save_checkpoint writes
+    them under <ckpt>/ema when TrainState.ema_params is enabled).
+    Returns None when the checkpoint has no EMA subtree.  Host-numpy
+    restore for backend portability, like _restore_as_numpy."""
+    ema_dir = Path(path).absolute() / "ema"
+    if not ema_dir.exists():
+        return None
+    return _restore_as_numpy(ema_dir)["params"]
 
 
 def load_weights_only(path: str):

@@ -51,14 +51,38 @@ class TrainState(flax.struct.PyTreeNode):
     batch_stats: Any  # {} for BN-free models
     opt_state: Any
     tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    # Exponential moving average of params (None = EMA off).  Standard
+    # SR-training practice (BasicSR-style ema_decay 0.999) the reference
+    # lacks; validation and best-checkpoint selection use the EMA
+    # weights when enabled, and checkpoints carry them alongside the
+    # raw params (train/checkpoint.py).
+    ema_params: Any = None
+    ema_decay: float = flax.struct.field(pytree_node=False, default=0.0)
 
     def apply_gradients(self, grads):
         updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        new_ema = self.ema_params
+        if new_ema is not None:
+            d = self.ema_decay
+            # runs inside both the single-device and the shard_map DP
+            # steps: grads are psummed before apply, so the EMA stays
+            # bitwise replicated across shards
+            new_ema = jax.tree.map(
+                lambda e, p: d * e + (1.0 - d) * p, new_ema, new_params
+            )
         return self.replace(
             step=self.step + 1,
-            params=optax.apply_updates(self.params, updates),
+            params=new_params,
             opt_state=new_opt,
+            ema_params=new_ema,
         )
+
+    @property
+    def eval_params(self):
+        """The weights validation/checkpoint-selection should score:
+        EMA when enabled, live params otherwise."""
+        return self.params if self.ema_params is None else self.ema_params
 
 
 def build_optimizer(
@@ -79,13 +103,23 @@ def build_optimizer(
     return tx
 
 
-def create_train_state(model, params, batch_stats, tx) -> TrainState:
+def create_train_state(
+    model, params, batch_stats, tx, ema_decay: Optional[float] = None
+) -> TrainState:
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=batch_stats or {},
         opt_state=tx.init(params),
         tx=tx,
+        # real copies, not aliases: the jit'd step donates the state, and
+        # params/ema sharing buffers would be a double-donation error
+        ema_params=(
+            jax.tree.map(lambda p: jnp.array(p, copy=True), params)
+            if ema_decay
+            else None
+        ),
+        ema_decay=float(ema_decay or 0.0),
     )
 
 
@@ -401,8 +435,15 @@ class Trainer:
             t_val0 = time.time()
             agg = {"loss": 0.0, "psnr_sum": 0.0, "ssim_sum": 0.0, "n": 0.0}
             n_batches = 0
+            # validate with the EMA weights when enabled (they are what
+            # the checkpoint's consumers will run)
+            eval_state = (
+                state
+                if state.ema_params is None
+                else state.replace(params=state.ema_params)
+            )
             for lr_np, hr_np in valid_loader:
-                m = eval_step(state, jnp.asarray(lr_np), jnp.asarray(hr_np))
+                m = eval_step(eval_state, jnp.asarray(lr_np), jnp.asarray(hr_np))
                 agg["loss"] += float(m["loss"])
                 agg["psnr_sum"] += float(m["psnr_sum"])
                 agg["ssim_sum"] += float(m["ssim_sum"])
