@@ -17,9 +17,7 @@ EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 200
 
 
 def main():
-    from tpu_superresolution_tpu.cli.train import main as train_main
-
-    run_proof("dat_proof_", train_main, lambda root, workdir, scale: [
+    run_proof("dat_proof_", "tpu_superresolution_tpu.cli.train", lambda root, workdir, scale: [
         "--data_root", root, "--scale", scale, "--model", "dat",
         "--epochs", str(EPOCHS), "--batch_size", "8", "--patch_size", "32",
         "--lr", "2e-4", "--scheduler", "Cosine",

@@ -18,9 +18,7 @@ EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 600
 
 
 def main():
-    from tpu_superresolution_tpu.cli.train import main as train_main
-
-    run_proof("msresunet_proof_", train_main, lambda root, workdir, scale: [
+    run_proof("msresunet_proof_", "tpu_superresolution_tpu.cli.train", lambda root, workdir, scale: [
         "--data_root", root, "--scale", scale,
         "--model", "ms_resunet", "--loss", "mse",
         "--epochs", str(EPOCHS), "--batch_size", "8", "--patch_size", "48",

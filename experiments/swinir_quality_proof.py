@@ -18,9 +18,7 @@ EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 300
 
 
 def main():
-    from tpu_superresolution_tpu.cli.finetune import main as finetune_main
-
-    run_proof("swinir_proof_", finetune_main, lambda root, workdir, scale: [
+    run_proof("swinir_proof_", "tpu_superresolution_tpu.cli.finetune", lambda root, workdir, scale: [
         "--data_root", root, "--scale", scale,
         "--epochs", str(EPOCHS), "--batch_size", "8", "--lr_patch", "32",
         "--lr", "2e-4", "--min_lr", "1e-5",

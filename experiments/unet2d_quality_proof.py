@@ -17,9 +17,7 @@ EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
 
 
 def main():
-    from tpu_superresolution_tpu.cli.train import main as train_main
-
-    run_proof("unet2d_proof_", train_main, lambda root, workdir, scale: [
+    run_proof("unet2d_proof_", "tpu_superresolution_tpu.cli.train", lambda root, workdir, scale: [
         "--data_root", root, "--scale", scale,
         "--model", "unet2d", "--base_channels", "32", "--depth", "3",
         "--residual", "--loss", "mse",

@@ -359,3 +359,18 @@ def test_ema_checkpoint_roundtrip(tmp_path, rng):
     path2 = str(tmp_path / "ck2")
     save_checkpoint(path2, state2, cfg)
     assert load_ema_params(path2) is None
+
+    # resuming an EMA run from that pre-EMA checkpoint re-seeds
+    # ema_params from params as a COPY — aliased buffers would be
+    # donated twice by make_train_step's donate_argnums=(0,) on the
+    # first resumed TPU step (ADVICE r4 medium).
+    target3 = create_train_state(model, variables["params"], {}, tx, ema_decay=0.9)
+    restored3, meta3 = load_checkpoint(path2, target_state=target3)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0),
+        restored3.ema_params, restored3.params,
+    )
+    for p, e in zip(jax.tree.leaves(restored3.params), jax.tree.leaves(restored3.ema_params)):
+        assert p is not e
+        if hasattr(p, "unsafe_buffer_pointer"):
+            assert p.unsafe_buffer_pointer() != e.unsafe_buffer_pointer()

@@ -19,3 +19,17 @@ PyTorch workbench ``ViacheslavTimofeev/tpu_superresolution``:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("TPU_SR_PLATFORM"):
+    # Escape hatch for environments whose sitecustomize pins the JAX
+    # platform and ignores JAX_PLATFORMS (e.g. the axon TPU tunnel):
+    # TPU_SR_PLATFORM=cpu forces the backend BEFORE first use, letting
+    # CLIs and the proof harness smoke-test on CPU while another
+    # process holds the TPU.  Set XLA_FLAGS=--xla_force_host_platform_
+    # device_count=N in the environment as well for a multi-device
+    # CPU mesh.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["TPU_SR_PLATFORM"])

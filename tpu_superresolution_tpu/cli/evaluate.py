@@ -124,9 +124,15 @@ def build_argparser():
     ap.add_argument("--save_indices", type=str, default="",
                     help="comma-separated indices; overrides save_every")
     ap.add_argument("--rescale_png", action="store_true")
-    ap.add_argument("--ema", action="store_true",
+    ap.add_argument("--ema", action=argparse.BooleanOptionalAction,
+                    default=None,
                     help="evaluate the EMA weights saved alongside the "
-                         "checkpoint (--ema_decay at train time)")
+                         "checkpoint (--ema_decay at train time).  "
+                         "Default (unset): auto — use the EMA subtree "
+                         "when the checkpoint's meta records ema_decay, "
+                         "since EMA-trained best checkpoints were "
+                         "SELECTED by EMA-weight validation; --no-ema "
+                         "forces the raw params")
     ap.add_argument("--self_ensemble", action="store_true",
                     help="x8 geometric TTA (rot90 x flips, averaged) — "
                          "~8x inference cost for typically +0.1-0.2 dB")
@@ -148,6 +154,11 @@ def build_argparser():
                          "evaluate with the semantics embedded in their config "
                          "— i.e. the semantics they were trained with")
     ap.add_argument("--no_baseline", action="store_true")
+    ap.add_argument("--report_json", type=str, default="",
+                    help="write the result dict (psnr/ssim/mpix_per_s) as "
+                         "JSON to this path — lets orchestrators (e.g. the "
+                         "quality-proof harness) run the eval in a fresh "
+                         "subprocess and still read the numbers back")
     ap.add_argument("--dp", type=int, default=0,
                     help="shard the tile batch across N mesh devices "
                          "(requires --tile)")
@@ -163,6 +174,10 @@ def main(argv=None):
         # Reference torch checkpoint (e.g. the published best_X2.pt —
         # /root/reference/modules/evaluate.py:41-63 loads these):
         # convert in place and evaluate directly, no retraining needed.
+        if args.ema:
+            raise SystemExit("--ema applies to framework checkpoints only; "
+                             "torch .pt/.pth files carry a single weight set "
+                             "(use interop to inspect params_ema subtrees)")
         exact = True if args.exact is None else args.exact
         mcfg, variables = _load_torch_checkpoint(
             args.model, args.ckpt, scale_int, exact
@@ -202,7 +217,18 @@ def main(argv=None):
         model = build_model(mcfg)
         restored, meta = load_weights_only(args.ckpt)
         variables = {"params": restored["params"]}
-        if args.ema:
+        # --ema unset = auto: EMA-trained checkpoints record ema_decay in
+        # meta.json and their best/bestpsnr selection ran on EMA-weight
+        # validation — evaluating raw params would run weights that never
+        # achieved the recorded val metrics (ADVICE r4).
+        use_ema = args.ema
+        if use_ema is None:
+            use_ema = bool(meta.get("ema_decay"))
+            if use_ema:
+                print("[ckpt] meta records ema_decay="
+                      f"{meta['ema_decay']} — defaulting to EMA weights "
+                      "(--no-ema for raw params)")
+        if use_ema:
             from tpu_superresolution_tpu.train.checkpoint import load_ema_params
 
             ema = load_ema_params(args.ckpt)
@@ -255,6 +281,18 @@ def main(argv=None):
     results = ev.run(loader, save_dir=args.save_dir if (args.save_n or args.save_every or save_indices) else None)
     print(f"[result] PSNR {results['psnr']:.2f} dB | SSIM {results['ssim']:.4f} | "
           f"{results['mpix_per_s']:.1f} MPix/s")
+    if args.report_json:
+        import json
+
+        out = {}
+        for k, v in results.items():
+            try:
+                out[k] = float(v)
+            except (TypeError, ValueError):
+                pass
+        with open(args.report_json, "w") as f:
+            json.dump(out, f)
+        print(f"[report] result json -> {args.report_json}")
     return results
 
 

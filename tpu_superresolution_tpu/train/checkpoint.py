@@ -105,11 +105,21 @@ def load_checkpoint(path: str, target_state=None):
         )
         if getattr(target_state, "ema_params", None) is not None:
             # resume an EMA run: restore the saved EMA if the checkpoint
-            # has one, else re-seed it from the restored params
+            # has one, else re-seed it from the restored params.  The
+            # re-seed must be a COPY, never an alias: make_train_step
+            # donates the whole state (donate_argnums=(0,)), and aliased
+            # params/ema_params buffers would be donated twice on the
+            # first resumed TPU step — the exact hazard
+            # create_train_state avoids with copy=True.
             ema = load_ema_params(path)
-            restored = restored.replace(
-                ema_params=ema if ema is not None else tree["params"]
-            )
+            if ema is None:
+                import jax
+                import jax.numpy as jnp
+
+                ema = jax.tree.map(
+                    lambda p: jnp.array(p, copy=True), tree["params"]
+                )
+            restored = restored.replace(ema_params=ema)
         return restored, meta
     return tree, meta
 
