@@ -36,7 +36,9 @@ import numpy as np
 from tpu_superresolution_tpu.core.config import DATConfig, register_model
 from tpu_superresolution_tpu.models.blocks import (
     Conv3x3,
+    DenseParams,
     DWConv3x3,
+    LayerNormParams,
     PixelShuffleDirect,
     PixelShuffleUpsample,
     PLayerNorm,
@@ -229,9 +231,111 @@ class _SpatialInteraction(nn.Module):
         return nn.Conv(1, (1, 1), dtype=self.dtype, name="fc2")(y)
 
 
+class _Conv1x1Params(nn.Module):
+    """nn.Conv(features, (1,1))-compatible raw params (kernel reshaped
+    to a dense [Cin, Cout] for in-kernel GEMMs)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 1, in_features, self.features), jnp.float32,
+        )
+        b = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return k.reshape(in_features, self.features), b
+
+
+class _BatchNormParams(nn.Module):
+    """nn.BatchNorm-compatible raw params + running stats (read-only —
+    the fused tail is inference-only, so stats are never updated)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        f = self.features
+        s = self.param("scale", nn.initializers.ones, (f,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (f,), jnp.float32)
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((f,), jnp.float32)
+        )
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((f,), jnp.float32)
+        )
+        return s, b, mean.value, var.value
+
+
+class _SpatialInteractionParams(nn.Module):
+    """_SpatialInteraction's param tree (fc1/bn/fc2) raw, with the
+    inference BatchNorm folded into fc1 for the fused tail kernel."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        from tpu_superresolution_tpu.ops.pallas.fused_datb_tail import (
+            fold_bn_into_dense,
+        )
+
+        c = self.dim
+        w1, b1 = _Conv1x1Params(c // 16, name="fc1")(c)
+        bs, bb, bm, bv = _BatchNormParams(c // 16, name="bn")()
+        w1, b1 = fold_bn_into_dense(w1, b1, bs, bb, bm, bv)
+        w2, b2 = _Conv1x1Params(1, name="fc2")(c // 16)
+        return w1, b1, w2, b2
+
+
+class _DWConvParams(nn.Module):
+    """DWConv3x3-compatible raw params ({kernel [3,3,1,C], bias})."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, 1, self.features), jnp.float32,
+        )
+        b = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return k, b
+
+
+class _SGFNParams(nn.Module):
+    """SGFN's param tree (fc1/sg_norm/sg_conv/fc2) raw for the fused
+    tail kernel."""
+
+    hidden: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        half = self.hidden // 2
+        w1, b1 = DenseParams(
+            self.hidden, kernel_init=_TRUNC02, name="fc1"
+        )(in_features)
+        gsg, bsg = LayerNormParams(name="sg_norm")(half)
+        wdw, bdw = _DWConvParams(half, name="sg_conv")()
+        w2, b2 = DenseParams(
+            self.out_features, kernel_init=_TRUNC02, name="fc2"
+        )(half)
+        return w1, b1, gsg, bsg, wdw, bdw, w2, b2
+
+
 class AdaptiveSpatialAttention(nn.Module):
     """Dual-branch rect-window attention + conv branch + AIM
-    (dat_arch.py:247-438)."""
+    (dat_arch.py:247-438).
+
+    ``tail="fused"`` (inference only): stop after the attention/conv
+    branches and the (global) channel-interaction gate, declare the
+    spatial-interaction and proj params raw, and return the pieces for
+    ops/pallas/fused_datb_tail — which runs AIM gating -> proj ->
+    residual -> LN2 -> SGFN in one VMEM pass per row strip."""
 
     dim: int
     num_heads: int
@@ -240,6 +344,7 @@ class AdaptiveSpatialAttention(nn.Module):
     do_shift: bool
     attn_impl: str = "auto"
     dtype: Dtype = jnp.float32
+    tail: str = "module"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -293,6 +398,11 @@ class AdaptiveSpatialAttention(nn.Module):
         channel_map = _ChannelInteraction(c, self.dtype, name="channel_interaction")(
             conv_x, train
         )
+        if self.tail == "fused":
+            gate_sig = jax.nn.sigmoid(channel_map.reshape(b, c))
+            spw = _SpatialInteractionParams(c, name="spatial_interaction")()
+            proj = DenseParams(c, kernel_init=_TRUNC02, name="proj")(c)
+            return attened_x, conv_x, gate_sig, spw, proj
         spatial_map = _SpatialInteraction(self.dtype, name="spatial_interaction")(
             attened_x, train
         )
@@ -311,6 +421,7 @@ class AdaptiveChannelAttention(nn.Module):
     num_heads: int
     qkv_bias: bool
     dtype: Dtype = jnp.float32
+    tail: str = "module"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -347,6 +458,13 @@ class AdaptiveChannelAttention(nn.Module):
         channel_map = _ChannelInteraction(c, self.dtype, name="channel_interaction")(
             attened_x, train
         )
+        if self.tail == "fused":
+            # vector-gated tensor u = conv_x (it also sources the
+            # per-pixel spatial map); pixel-gated tensor = attened_x
+            gate_sig = jax.nn.sigmoid(channel_map.reshape(b, c))
+            spw = _SpatialInteractionParams(c, name="spatial_interaction")()
+            proj = DenseParams(c, kernel_init=_TRUNC02, name="proj")(c)
+            return conv_x, attened_x, gate_sig, spw, proj
         spatial_map = _SpatialInteraction(self.dtype, name="spatial_interaction")(
             conv_x, train
         )
@@ -393,22 +511,41 @@ class DATB(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from tpu_superresolution_tpu.ops.pallas import fused_datb_tail as _ft
+
         i, j = self.rg_idx, self.b_idx
         do_shift = (i % 2 == 0 and j > 0 and (j - 2) % 4 == 0) or (
             i % 2 != 0 and j % 4 == 0
         )
         # stochastic depth on both residuals (dat_arch.py:562-563)
         use_dp = train and self.drop_path_rate > 0
+        # Fused tail (inference): AIM gating + proj + residual + LN2 +
+        # SGFN as one Pallas kernel (ops/pallas/fused_datb_tail.py).
+        # Training keeps the module chain (BatchNorm stats + drop_path).
+        bsz, h, w, _c = x.shape
+        fused = (not train) and _ft.fused_tail_ok(h, w)
+        tail = "fused" if fused else "module"
         y = _pln(self.dtype, name="norm1")(x)
         if j % 2 == 0:
             y = AdaptiveSpatialAttention(
                 self.dim, self.num_heads, self.split_size, self.qkv_bias,
-                do_shift, self.attn_impl, self.dtype, name="attn",
+                do_shift, self.attn_impl, self.dtype, tail=tail, name="attn",
             )(y, train)
         else:
             y = AdaptiveChannelAttention(
-                self.dim, self.num_heads, self.qkv_bias, self.dtype, name="attn"
+                self.dim, self.num_heads, self.qkv_bias, self.dtype,
+                tail=tail, name="attn",
             )(y, train)
+        if fused:
+            u, w_px, gate_sig, spw, (wproj, bproj) = y
+            g2, b2 = LayerNormParams(name="norm2")(self.dim)
+            wfc1, bfc1, gsg, bsg, wdw, bdw, wfc2, bfc2 = _SGFNParams(
+                int(self.dim * self.expansion_factor), self.dim, name="ffn"
+            )(self.dim)
+            return _ft.fused_datb_tail(
+                x, u, w_px, gate_sig, *spw, wproj, bproj, g2, b2,
+                wfc1, bfc1, gsg, bsg, wdw, bdw, wfc2, bfc2,
+            )
         rng = self.make_rng("drop_path") if use_dp else None
         x = x + drop_path(y, self.drop_path_rate, rng is None, rng)
         y = _pln(self.dtype, name="norm2")(x)
