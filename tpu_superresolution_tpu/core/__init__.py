@@ -4,6 +4,7 @@ from .config import (
     UNet2DConfig,
     SwinIRConfig,
     HATConfig,
+    HATFastConfig,
     DATConfig,
     TrainConfig,
     DataConfig,
@@ -20,6 +21,7 @@ __all__ = [
     "UNet2DConfig",
     "SwinIRConfig",
     "HATConfig",
+    "HATFastConfig",
     "DATConfig",
     "TrainConfig",
     "DataConfig",

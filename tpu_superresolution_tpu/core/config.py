@@ -159,6 +159,24 @@ class HATConfig(ModelConfig):
 
 
 @dataclass(frozen=True)
+class HATFastConfig(HATConfig):
+    """Framework-native fast-HAT production preset: window_size=8.
+
+    The reference pins window_size=7 (hat_arch.py:738-749) and its
+    official checkpoints require it — but ws=7 windows are 8-lane
+    misaligned on the TPU, and the packed-window kernel's per-step
+    serial VMEM chain costs ~3x per token vs ws=8 (PARITY.md "HAT ws=7
+    floor CLOSED": 256^2 x4 forward ~79.7 ms at ws=7 vs 61.8 ms for the
+    ws=8 packed variant, round-2 measurement).  For from-scratch
+    training — every "lite" quality proof in PARITY.md already uses
+    ws=8 — this preset is the recommended config; official-checkpoint
+    users keep `hat` (ws=7 parity)."""
+
+    name: str = "hat_fast"
+    window_size: int = 8
+
+
+@dataclass(frozen=True)
 class DATConfig(ModelConfig):
     """DAT dual aggregation transformer (reference modules/dat_arch.py:699-859).
 

@@ -31,7 +31,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpu_superresolution_tpu.core.config import HATConfig, register_model
+from tpu_superresolution_tpu.core.config import (
+    HATConfig,
+    HATFastConfig,
+    register_model,
+)
 from tpu_superresolution_tpu.models.blocks import (
     AttnParams,
     Conv3x3,
@@ -692,3 +696,5 @@ def build_hat(config: HATConfig, dtype=jnp.float32) -> HAT:
 
 
 register_model("hat", HATConfig, build_hat)
+# Framework-native fast preset (ws=8) — see HATFastConfig's docstring.
+register_model("hat_fast", HATFastConfig, build_hat)
