@@ -76,13 +76,21 @@ def fused_tail_ok(h: int, w: int, backend: str | None = None) -> bool:
     return be in ("tpu", "cpu")  # cpu = interpret mode (tests)
 
 
+# Mosaic-rejection bisect ladder (experiments/fused_tail_diag.py):
+# 0 = read refs, write center x back (specs/index maps only)
+# 1 = + AIM gates + proj + residual
+# 2 = + LN2 + fc1 + gate-mul (no dwconv) + fc2
+# 3 = full kernel (depthwise 3x3 with halo)   <- production
+DIAG_LEVEL = 3
+
+
 def _kernel(x_ref, xt_ref, xb_ref, u_ref, ut_ref, ub_ref,
             w_ref, wt_ref, wb_ref, gate_ref,
             sp_w1_ref, sp_b1_ref, sp_w2_ref, sp_b2_ref,
             wproj_ref, bproj_ref, g2_ref, b2_ref,
             wfc1_ref, bfc1_ref, gsg_ref, bsg_ref,
             wdw_ref, bdw_ref, wfc2_ref, bfc2_ref,
-            o_ref, *, s, wdim, c, half, nr, cdt):
+            o_ref, *, s, wdim, c, half, nr, cdt, level):
     r = pl.program_id(1)
     f32 = jnp.float32
 
@@ -102,6 +110,19 @@ def _kernel(x_ref, xt_ref, xb_ref, u_ref, ut_ref, ub_ref,
     ua = ua.reshape(t18, c)
     wa = wa.reshape(t18, c)
 
+    def center(t2d, width):
+        return t2d.reshape(rows, wdim, width)[1 : s + 1].reshape(
+            s * wdim, width
+        )
+
+    if level == 0:
+        o_ref[...] = (
+            (xa + ua + wa).reshape(rows, wdim, c)[1 : s + 1]
+            .reshape(1, s, wdim, c)
+            .astype(o_ref.dtype)
+        )
+        return
+
     dot = functools.partial(jnp.dot, preferred_element_type=f32)
 
     # ---- AIM: per-pixel spatial map from u (BN pre-folded into fc1),
@@ -116,42 +137,50 @@ def _kernel(x_ref, xt_ref, xb_ref, u_ref, ut_ref, ub_ref,
     # ---- proj + residual ----
     x2 = xa.astype(f32) + dot(sgated, wproj_ref[:]) + bproj_ref[:]
 
+    if level == 1:
+        o_ref[...] = center(x2, c).reshape(1, s, wdim, c).astype(o_ref.dtype)
+        return
+
     # ---- LN2 + SGFN fc1 + exact GELU ----
     y = _ln(x2, g2_ref[:], b2_ref[:]).astype(cdt)
     h = _gelu(dot(y, wfc1_ref[:]) + bfc1_ref[:], False)  # [T, hid] f32
     h1 = h[:, :half]
     h2 = _ln(h[:, half:], gsg_ref[:], bsg_ref[:]).astype(cdt)
 
-    # ---- depthwise 3x3 on h2 (SAME zero pad), valid on center rows ----
-    h2r = h2.reshape(rows, wdim, half)
-    # zero the halo rows at image edges (clamped reads are garbage there)
-    ri = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0)
-    top_edge = (r == 0)
-    bot_edge = (r == nr - 1)
-    keep = jnp.where((ri == 0) & top_edge, 0, 1) * jnp.where(
-        (ri == rows - 1) & bot_edge, 0, 1
-    )
-    h2r = h2r * keep.astype(cdt)
+    if level >= 3:
+        # ---- depthwise 3x3 on h2 (SAME zero pad), valid on center ----
+        h2r = h2.reshape(rows, wdim, half)
+        # zero halo rows at image edges (clamped reads are garbage there)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0)
+        top_edge = (r == 0)
+        bot_edge = (r == nr - 1)
+        keep = jnp.where((ri == 0) & top_edge, 0, 1) * jnp.where(
+            (ri == rows - 1) & bot_edge, 0, 1
+        )
+        h2r = h2r * keep.astype(cdt)
 
-    zcol = jnp.zeros((s, 1, half), cdt)
-    acc = jnp.zeros((s, wdim, half), f32)
-    for dy in range(3):
-        rband = jax.lax.slice_in_dim(h2r, dy, dy + s, axis=0)
-        for dx in range(3):
-            if dx == 0:  # shift right: west neighbor, zero at col 0
-                sh = jnp.concatenate([zcol, rband[:, : wdim - 1]], axis=1)
-            elif dx == 2:  # shift left: east neighbor, zero at last col
-                sh = jnp.concatenate([rband[:, 1:], zcol], axis=1)
-            else:
-                sh = rband
-            acc = acc + sh.astype(f32) * wdw_ref[3 * dy + dx]
-    h2c = acc + bdw_ref[:]  # [S, W, half] f32
+        zcol = jnp.zeros((s, 1, half), cdt)
+        acc = jnp.zeros((s, wdim, half), f32)
+        for dy in range(3):
+            rband = jax.lax.slice_in_dim(h2r, dy, dy + s, axis=0)
+            for dx in range(3):
+                if dx == 0:  # shift right: west neighbor, zero col 0
+                    sh = jnp.concatenate(
+                        [zcol, rband[:, : wdim - 1]], axis=1
+                    )
+                elif dx == 2:  # shift left: east neighbor, zero last col
+                    sh = jnp.concatenate([rband[:, 1:], zcol], axis=1)
+                else:
+                    sh = rband
+                acc = acc + sh.astype(f32) * wdw_ref[3 * dy + dx]
+        h2c = acc + bdw_ref[:]  # [S, W, half] f32
+        h2g = h2c.reshape(s * wdim, half)
+    else:
+        h2g = center(h2.astype(f32), half)
 
     # ---- gate multiply + fc2 + residual ----
-    h1c = h1.reshape(rows, wdim, half)[1 : s + 1]
-    g = (h1c * h2c).reshape(s * wdim, half).astype(cdt)
-    x2c = x2.reshape(rows, wdim, c)[1 : s + 1].reshape(s * wdim, c)
-    out = x2c + dot(g, wfc2_ref[:]) + bfc2_ref[:]
+    g = (center(h1, half) * h2g).astype(cdt)
+    out = center(x2, c) + dot(g, wfc2_ref[:]) + bfc2_ref[:]
     o_ref[...] = out.reshape(1, s, wdim, c).astype(o_ref.dtype)
 
 
@@ -217,7 +246,8 @@ def fused_datb_tail(
     )
 
     kernel = functools.partial(
-        _kernel, s=s, wdim=ww, c=c, half=half, nr=nr, cdt=cdt
+        _kernel, s=s, wdim=ww, c=c, half=half, nr=nr, cdt=cdt,
+        level=DIAG_LEVEL,
     )
     return pl.pallas_call(
         kernel,
