@@ -149,20 +149,29 @@ def _kernel(x_ref, xt_ref, xb_ref, u_ref, ut_ref, ub_ref,
 
     if level >= 3:
         # ---- depthwise 3x3 on h2 (SAME zero pad), valid on center ----
+        # Mosaic-friendly forms throughout (the first cut was rejected
+        # by the remote compiler — experiments/fused_tail_diag.py
+        # level-3 FAIL): no iota row masks (scalar keep factors on the
+        # halo rows instead), no 1-D vector broadcasts (tap weights and
+        # bias kept [1, 1, half]).
         h2r = h2.reshape(rows, wdim, half)
-        # zero halo rows at image edges (clamped reads are garbage there)
-        ri = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0)
-        top_edge = (r == 0)
-        bot_edge = (r == nr - 1)
-        keep = jnp.where((ri == 0) & top_edge, 0, 1) * jnp.where(
-            (ri == rows - 1) & bot_edge, 0, 1
+        # zero halo rows at image edges (clamped reads are garbage and
+        # the module conv pads SAME with zeros there)
+        top_keep = jnp.where(r == 0, 0.0, 1.0).astype(cdt)
+        bot_keep = jnp.where(r == nr - 1, 0.0, 1.0).astype(cdt)
+        h2r = jnp.concatenate(
+            [
+                h2r[0:1] * top_keep,
+                h2r[1 : rows - 1],
+                h2r[rows - 1 : rows] * bot_keep,
+            ],
+            axis=0,
         )
-        h2r = h2r * keep.astype(cdt)
 
         zcol = jnp.zeros((s, 1, half), cdt)
         acc = jnp.zeros((s, wdim, half), f32)
         for dy in range(3):
-            rband = jax.lax.slice_in_dim(h2r, dy, dy + s, axis=0)
+            rband = h2r[dy : dy + s]
             for dx in range(3):
                 if dx == 0:  # shift right: west neighbor, zero col 0
                     sh = jnp.concatenate(
@@ -172,8 +181,11 @@ def _kernel(x_ref, xt_ref, xb_ref, u_ref, ut_ref, ub_ref,
                     sh = jnp.concatenate([rband[:, 1:], zcol], axis=1)
                 else:
                     sh = rband
-                acc = acc + sh.astype(f32) * wdw_ref[3 * dy + dx]
-        h2c = acc + bdw_ref[:]  # [S, W, half] f32
+                tap = wdw_ref[3 * dy + dx : 3 * dy + dx + 1, :].reshape(
+                    1, 1, half
+                )
+                acc = acc + sh.astype(f32) * tap.astype(f32)
+        h2c = acc + bdw_ref[:].reshape(1, 1, half)  # [S, W, half] f32
         h2g = h2c.reshape(s * wdim, half)
     else:
         h2g = center(h2.astype(f32), half)
