@@ -23,10 +23,15 @@ args = dict(
     bfc2=f(C),
 )
 
-for s in (8, 16):
-    for level in (0, 1, 2, 3):
+# s16 is VMEM-dead (level 2 reject); sweep the dwconv column-shift
+# impl at s8 level 3 instead.
+for s, level, dw in (
+    (8, 3, "rows3"), (8, 3, "roll"), (8, 3, "concat"),
+):
+    if True:
         ft.STRIP_ROWS = s
         ft.DIAG_LEVEL = level
+        ft.DW_COLS = dw
         t0 = time.time()
         try:
             o = jax.block_until_ready(
@@ -36,12 +41,13 @@ for s in (8, 16):
                     )
                 )(x, u, w_px, gate)
             )
-            print(f"[OK]   s={s} level={level}  compile {time.time()-t0:.1f}s  "
+            print(f"[OK]   s={s} level={level} dw={dw}  compile {time.time()-t0:.1f}s  "
                   f"out finite={bool(jnp.isfinite(o).all())}", flush=True)
         except Exception as e:
             msg = str(e).replace("\n", " ")[:300]
-            print(f"[FAIL] s={s} level={level}  {type(e).__name__}: {msg}",
+            print(f"[FAIL] s={s} level={level} dw={dw}  {type(e).__name__}: {msg}",
                   flush=True)
 ft.DIAG_LEVEL = 3
 ft.STRIP_ROWS = 8
+ft.DW_COLS = "roll"
 print("ALL DONE", flush=True)

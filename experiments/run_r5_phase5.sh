@@ -1,6 +1,7 @@
 #!/bin/bash
-# Round-5 phase-5: rerun the DAT fused-tail A/B with the reworked
-# dwconv section (s8 only).  Waits for phase 4 (bench_sol).
+# Round-5 phase-5: dwconv column-shift sub-bisect (rows3/roll/concat),
+# rect-kernel bisect, then the DAT fused-tail(+rect) A/B.  Waits for
+# phase 4 (bench_sol).
 set -u
 cd /root/repo
 mkdir -p experiments/logs
@@ -27,5 +28,7 @@ run_one() {
   echo "[queue] done $logname rc=$? ($(date -u +%FT%TZ))" >> "$LOG"
 }
 
+run_one experiments/fused_tail_diag.py 3600 fused_tail_diag3
+run_one experiments/fused_rect_diag.py 3600 fused_rect_diag
 run_one experiments/dat_fused_tail_ab.py 10800 dat_fused_tail_ab2
 echo "[queue] r5-phase5 ALL DONE $(date -u +%FT%TZ)" >> "$LOG"

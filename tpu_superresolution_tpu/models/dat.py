@@ -306,6 +306,37 @@ class _DWConvParams(nn.Module):
         return k, b
 
 
+class _PosOnly(nn.Module):
+    """Scope wrapper so the fused-rect path declares the branch's
+    DynamicPosBias under the module-path name the module chain uses
+    (attn/attns_{idx}/pos)."""
+
+    pos_dim: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, biases):
+        return DynamicPosBias(
+            self.pos_dim, self.num_heads, self.dtype, name="pos"
+        )(biases)
+
+
+class _DWConvBranchParams(nn.Module):
+    """_DWConvBranch's param tree (conv/bn) raw, with the inference
+    BatchNorm folded into the depthwise kernel+bias (conv THEN bn:
+    y = (conv(v)+b - mean) * scale/sqrt(var+eps) + bias)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k, b = _DWConvParams(self.features, name="conv")()
+        bs, bb, bm, bv = _BatchNormParams(self.features, name="bn")()
+        s = bs * jax.lax.rsqrt(bv + 1e-5)
+        return k * s, b * s + bb - bm * s
+
+
 class _SGFNParams(nn.Module):
     """SGFN's param tree (fc1/sg_norm/sg_conv/fc2) raw for the fused
     tail kernel."""
@@ -347,10 +378,65 @@ class AdaptiveSpatialAttention(nn.Module):
     tail: str = "module"
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, norm1=None):
         b, h, w, c = x.shape
         s0, s1 = self.split_size
         sh0, sh1 = s0 // 2, s1 // 2
+
+        if norm1 is not None:
+            # fused-rect path: `x` is the RAW block input; LN1 + qkv +
+            # both rect branches + the conv branch run as one Pallas
+            # kernel (ops/pallas/fused_rect_attn.py).  Only reachable
+            # via tail="fused" at inference (DATB gates on
+            # fused_rect_ok).
+            from tpu_superresolution_tpu.ops.pallas.fused_rect_attn import (
+                fused_rect_attention,
+            )
+
+            g1n, b1n = norm1
+            wqkv, bqkv = DenseParams(
+                3 * c, kernel_init=_TRUNC02, use_bias=self.qkv_bias,
+                name="qkv",
+            )(c)
+            nhb = self.num_heads // 2
+            biases = []
+            for idx, (hsp, wsp) in enumerate(((s0, s1), (s1, s0))):
+                # pos_dim matches SpatialAttentionBranch: the branch
+                # operates on half channels, pos_dim = (C/2) // 16
+                pos = _PosOnly(
+                    (c // 2) // 4 // 4, nhb, self.dtype,
+                    name=f"attns_{idx}",
+                )(jnp.asarray(_rpe_biases(hsp, wsp)))
+                rpi = relative_position_index(hsp, wsp)
+                nn_ = hsp * wsp
+                biases.append(
+                    pos[rpi.reshape(-1)]
+                    .reshape(nn_, nn_, nhb)
+                    .transpose(2, 0, 1)
+                )
+            wdwf, bdwf = _DWConvBranchParams(c, name="dwconv")()
+            xr0 = xr1 = mask0 = mask1 = None
+            if self.do_shift:
+                xr0 = jnp.roll(x, (-sh0, -sh1), axis=(1, 2))
+                xr1 = jnp.roll(x, (-sh1, -sh0), axis=(1, 2))
+                mask0 = rect_shift_attn_mask(h, w, s0, s1, sh0, sh1)
+                mask1 = rect_shift_attn_mask(h, w, s1, s0, sh1, sh0)
+            o0, o1, conv_x = fused_rect_attention(
+                x, xr0, xr1, g1n, b1n, wqkv, bqkv, wdwf, bdwf,
+                biases[0], biases[1], mask0, mask1, s0, s1,
+                self.num_heads,
+            )
+            if self.do_shift:
+                o0 = jnp.roll(o0, (sh0, sh1), axis=(1, 2))
+                o1 = jnp.roll(o1, (sh1, sh0), axis=(1, 2))
+            attened_x = jnp.concatenate([o0, o1], axis=-1)
+            channel_map = _ChannelInteraction(
+                c, self.dtype, name="channel_interaction"
+            )(conv_x, train)
+            gate_sig = jax.nn.sigmoid(channel_map.reshape(b, c))
+            spw = _SpatialInteractionParams(c, name="spatial_interaction")()
+            proj = DenseParams(c, kernel_init=_TRUNC02, name="proj")(c)
+            return attened_x, conv_x, gate_sig, spw, proj
 
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, kernel_init=_TRUNC02,
                        dtype=self.dtype, name="qkv")(x)
@@ -525,17 +611,36 @@ class DATB(nn.Module):
         bsz, h, w, _c = x.shape
         fused = (not train) and _ft.fused_tail_ok(h, w)
         tail = "fused" if fused else "module"
-        y = _pln(self.dtype, name="norm1")(x)
-        if j % 2 == 0:
+        # fused-rect (kernel 1, spatial blocks only): LN1 moves inside
+        # the kernel, so norm1 params are declared raw here and x is
+        # passed un-normed; the param tree stays identical.
+        from tpu_superresolution_tpu.ops.pallas import fused_rect_attn as _fr
+
+        rect = (
+            fused
+            and j % 2 == 0
+            and _fr.fused_rect_ok(h, w, *self.split_size)
+        )
+        if rect:
+            g1n, b1n = LayerNormParams(name="norm1")(self.dim)
             y = AdaptiveSpatialAttention(
                 self.dim, self.num_heads, self.split_size, self.qkv_bias,
-                do_shift, self.attn_impl, self.dtype, tail=tail, name="attn",
-            )(y, train)
+                do_shift, self.attn_impl, self.dtype, tail=tail,
+                name="attn",
+            )(x, train, norm1=(g1n, b1n))
         else:
-            y = AdaptiveChannelAttention(
-                self.dim, self.num_heads, self.qkv_bias, self.dtype,
-                tail=tail, name="attn",
-            )(y, train)
+            y = _pln(self.dtype, name="norm1")(x)
+            if j % 2 == 0:
+                y = AdaptiveSpatialAttention(
+                    self.dim, self.num_heads, self.split_size,
+                    self.qkv_bias, do_shift, self.attn_impl, self.dtype,
+                    tail=tail, name="attn",
+                )(y, train)
+            else:
+                y = AdaptiveChannelAttention(
+                    self.dim, self.num_heads, self.qkv_bias, self.dtype,
+                    tail=tail, name="attn",
+                )(y, train)
         if fused:
             u, w_px, gate_sig, spw, (wproj, bproj) = y
             g2, b2 = LayerNormParams(name="norm2")(self.dim)

@@ -83,6 +83,63 @@ def fused_tail_ok(h: int, w: int, backend: str | None = None) -> bool:
 # 3 = full kernel (depthwise 3x3 with halo)   <- production
 DIAG_LEVEL = 3
 
+# Column-shift implementation inside the depthwise 3x3 (the first two
+# cuts were Mosaic-rejected at level 3; sub-bisect via
+# experiments/fused_tail_diag.py):
+#   "concat" — zero-column concat + slice on the sublane dim
+#   "roll"   — pltpu.roll on the sublane dim + iota edge mask
+#   "rows3"  — DIAGNOSTIC ONLY: row taps only (wrong numerics, isolates
+#              whether the column shift is the rejected construct)
+DW_COLS = "roll"
+
+
+def _dwconv_strip(h2r, wdw_ref, bdw_ref, r, nr, s, wdim, cw, cdt,
+                  dw_cols):
+    """Depthwise 3x3 (SAME zero pad) over an [s+2, W, cw] strip with
+    single-row halos; returns the valid [s, W, cw] f32 result.  Halo
+    rows at image edges are zeroed via scalar keep factors (the module
+    conv zero-pads there and the clamped halo reads are garbage)."""
+    f32 = jnp.float32
+    rows = s + 2
+    top_keep = jnp.where(r == 0, 0.0, 1.0).astype(cdt)
+    bot_keep = jnp.where(r == nr - 1, 0.0, 1.0).astype(cdt)
+    h2r = jnp.concatenate(
+        [
+            h2r[0:1] * top_keep,
+            h2r[1 : rows - 1],
+            h2r[rows - 1 : rows] * bot_keep,
+        ],
+        axis=0,
+    )
+    if dw_cols == "roll":
+        col = jax.lax.broadcasted_iota(jnp.int32, (s, wdim, cw), 1)
+    zcol = jnp.zeros((s, 1, cw), cdt)
+    acc = jnp.zeros((s, wdim, cw), f32)
+    for dy in range(3):
+        rband = h2r[dy : dy + s]
+        for dx in range(3):
+            if dx == 1 or dw_cols == "rows3":
+                if dx != 1 and dw_cols == "rows3":
+                    continue
+                sh = rband
+            elif dw_cols == "concat":
+                if dx == 0:  # west neighbor, zero col 0
+                    sh = jnp.concatenate(
+                        [zcol, rband[:, : wdim - 1]], axis=1
+                    )
+                else:  # east neighbor, zero last col
+                    sh = jnp.concatenate([rband[:, 1:], zcol], axis=1)
+            else:  # "roll" (shift must be non-negative: left = W-1)
+                shift = 1 if dx == 0 else wdim - 1
+                sh = pltpu.roll(rband, shift=shift, axis=1)
+                edge = 0 if dx == 0 else wdim - 1
+                sh = jnp.where(col == edge, jnp.zeros((), cdt), sh)
+            tap = wdw_ref[3 * dy + dx : 3 * dy + dx + 1, :].reshape(
+                1, 1, cw
+            )
+            acc = acc + sh.astype(f32) * tap.astype(f32)
+    return acc + bdw_ref[:].reshape(1, 1, cw)
+
 
 def _kernel(x_ref, xt_ref, xb_ref, u_ref, ut_ref, ub_ref,
             w_ref, wt_ref, wb_ref, gate_ref,
@@ -90,7 +147,7 @@ def _kernel(x_ref, xt_ref, xb_ref, u_ref, ut_ref, ub_ref,
             wproj_ref, bproj_ref, g2_ref, b2_ref,
             wfc1_ref, bfc1_ref, gsg_ref, bsg_ref,
             wdw_ref, bdw_ref, wfc2_ref, bfc2_ref,
-            o_ref, *, s, wdim, c, half, nr, cdt, level):
+            o_ref, *, s, wdim, c, half, nr, cdt, level, dw_cols):
     r = pl.program_id(1)
     f32 = jnp.float32
 
@@ -149,43 +206,10 @@ def _kernel(x_ref, xt_ref, xb_ref, u_ref, ut_ref, ub_ref,
 
     if level >= 3:
         # ---- depthwise 3x3 on h2 (SAME zero pad), valid on center ----
-        # Mosaic-friendly forms throughout (the first cut was rejected
-        # by the remote compiler — experiments/fused_tail_diag.py
-        # level-3 FAIL): no iota row masks (scalar keep factors on the
-        # halo rows instead), no 1-D vector broadcasts (tap weights and
-        # bias kept [1, 1, half]).
-        h2r = h2.reshape(rows, wdim, half)
-        # zero halo rows at image edges (clamped reads are garbage and
-        # the module conv pads SAME with zeros there)
-        top_keep = jnp.where(r == 0, 0.0, 1.0).astype(cdt)
-        bot_keep = jnp.where(r == nr - 1, 0.0, 1.0).astype(cdt)
-        h2r = jnp.concatenate(
-            [
-                h2r[0:1] * top_keep,
-                h2r[1 : rows - 1],
-                h2r[rows - 1 : rows] * bot_keep,
-            ],
-            axis=0,
+        h2c = _dwconv_strip(
+            h2.reshape(rows, wdim, half), wdw_ref, bdw_ref, r, nr, s,
+            wdim, half, cdt, dw_cols,
         )
-
-        zcol = jnp.zeros((s, 1, half), cdt)
-        acc = jnp.zeros((s, wdim, half), f32)
-        for dy in range(3):
-            rband = h2r[dy : dy + s]
-            for dx in range(3):
-                if dx == 0:  # shift right: west neighbor, zero col 0
-                    sh = jnp.concatenate(
-                        [zcol, rband[:, : wdim - 1]], axis=1
-                    )
-                elif dx == 2:  # shift left: east neighbor, zero last col
-                    sh = jnp.concatenate([rband[:, 1:], zcol], axis=1)
-                else:
-                    sh = rband
-                tap = wdw_ref[3 * dy + dx : 3 * dy + dx + 1, :].reshape(
-                    1, 1, half
-                )
-                acc = acc + sh.astype(f32) * tap.astype(f32)
-        h2c = acc + bdw_ref[:].reshape(1, 1, half)  # [S, W, half] f32
         h2g = h2c.reshape(s * wdim, half)
     else:
         h2g = center(h2.astype(f32), half)
@@ -259,7 +283,7 @@ def fused_datb_tail(
 
     kernel = functools.partial(
         _kernel, s=s, wdim=ww, c=c, half=half, nr=nr, cdt=cdt,
-        level=DIAG_LEVEL,
+        level=DIAG_LEVEL, dw_cols=DW_COLS,
     )
     return pl.pallas_call(
         kernel,
