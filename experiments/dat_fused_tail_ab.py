@@ -27,7 +27,7 @@ def _probe_dw():
         wdw=g(3, 3, 1, 180) * 0.1, bdw=g(180), wfc2=g(180, 180) * 0.05,
         bfc2=g(180),
     )
-    for dw in ("roll", "concat"):
+    for dw in ("group8",):
         ft.DW_COLS = dw
         try:
             jax.block_until_ready(jax.jit(

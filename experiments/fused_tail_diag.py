@@ -26,7 +26,7 @@ args = dict(
 # s16 is VMEM-dead (level 2 reject); sweep the dwconv column-shift
 # impl at s8 level 3 instead.
 for s, level, dw in (
-    (8, 3, "rows3"), (8, 3, "roll"), (8, 3, "concat"),
+    (8, 3, "group8"), (8, 2, "group8"),
 ):
     if True:
         ft.STRIP_ROWS = s
@@ -49,5 +49,5 @@ for s, level, dw in (
                   flush=True)
 ft.DIAG_LEVEL = 3
 ft.STRIP_ROWS = 8
-ft.DW_COLS = "roll"
+ft.DW_COLS = "group8"
 print("ALL DONE", flush=True)

@@ -70,6 +70,8 @@ def fused_tail_ok(h: int, w: int, backend: str | None = None) -> bool:
         return False
     if h % STRIP_ROWS or h < 2 * STRIP_ROWS:
         return False
+    if DW_COLS == "group8" and w % 8:
+        return False
     import jax as _jax
 
     be = backend or _jax.default_backend()
@@ -83,14 +85,20 @@ def fused_tail_ok(h: int, w: int, backend: str | None = None) -> bool:
 # 3 = full kernel (depthwise 3x3 with halo)   <- production
 DIAG_LEVEL = 3
 
-# Column-shift implementation inside the depthwise 3x3 (the first two
-# cuts were Mosaic-rejected at level 3; sub-bisect via
-# experiments/fused_tail_diag.py):
-#   "concat" — zero-column concat + slice on the sublane dim
-#   "roll"   — pltpu.roll on the sublane dim + iota edge mask
-#   "rows3"  — DIAGNOSTIC ONLY: row taps only (wrong numerics, isolates
-#              whether the column shift is the rejected construct)
-DW_COLS = "roll"
+# Column-shift implementation inside the depthwise 3x3.  Sub-bisected
+# on hardware (fused_tail_diag3): "rows3" (no column shifts) compiles,
+# "concat" AND "roll" are both Mosaic-rejected — the shift-by-1 on a
+# 256-extent sublane axis is the same compiler bug that killed the
+# round-3/4 dwconv3x3_halo kernels.  "group8" works around it with the
+# layout fused_block's roll absorption proves compiles: reshape W into
+# [W/8, 8] so the sublane extent is 8, shift within groups via an
+# 8-extent sublane concat, and carry the boundary column across groups
+# on a LEADING dim.
+#   "group8" — production (requires W % 8 == 0; gated in *_ok)
+#   "concat" / "roll" — rejected forms, kept selectable for retests
+#                       when a new Mosaic lands
+#   "rows3"  — DIAGNOSTIC ONLY (wrong numerics, isolates the shift)
+DW_COLS = "group8"
 
 
 def _dwconv_strip(h2r, wdw_ref, bdw_ref, r, nr, s, wdim, cw, cdt,
@@ -113,6 +121,28 @@ def _dwconv_strip(h2r, wdw_ref, bdw_ref, r, nr, s, wdim, cw, cdt,
     )
     if dw_cols == "roll":
         col = jax.lax.broadcasted_iota(jnp.int32, (s, wdim, cw), 1)
+    ng = wdim // 8
+
+    def shift_group8(rband, dx):
+        # [s, W, cw] -> [s, W/8, 8, cw]; shift-by-1 along W as an
+        # 8-extent sublane concat + leading-dim group carry.
+        g8 = rband.reshape(s, ng, 8, cw)
+        if dx == 0:  # west neighbor: out[., w] = in[., w-1], zero w=0
+            carry = g8[:, :, 7:8, :]  # last col of each group
+            carry = jnp.concatenate(
+                [jnp.zeros((s, 1, 1, cw), rband.dtype), carry[:, : ng - 1]],
+                axis=1,
+            )
+            sh = jnp.concatenate([carry, g8[:, :, :7, :]], axis=2)
+        else:  # east neighbor: out[., w] = in[., w+1], zero w=W-1
+            carry = g8[:, :, 0:1, :]
+            carry = jnp.concatenate(
+                [carry[:, 1:], jnp.zeros((s, 1, 1, cw), rband.dtype)],
+                axis=1,
+            )
+            sh = jnp.concatenate([g8[:, :, 1:, :], carry], axis=2)
+        return sh.reshape(s, wdim, cw)
+
     zcol = jnp.zeros((s, 1, cw), cdt)
     acc = jnp.zeros((s, wdim, cw), f32)
     for dy in range(3):
@@ -122,6 +152,8 @@ def _dwconv_strip(h2r, wdw_ref, bdw_ref, r, nr, s, wdim, cw, cdt,
                 if dx != 1 and dw_cols == "rows3":
                     continue
                 sh = rband
+            elif dw_cols == "group8":
+                sh = shift_group8(rband, dx)
             elif dw_cols == "concat":
                 if dx == 0:  # west neighbor, zero col 0
                     sh = jnp.concatenate(

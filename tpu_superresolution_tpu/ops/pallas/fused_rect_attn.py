@@ -1,5 +1,5 @@
 """Fused dual-rect window attention — the front half of the DAT
-spatial block as ONE Pallas kernel (inference path).
+spatial block as Pallas kernels (inference path).
 
 Covers modules/dat_arch.py:247-438 up to (not including) the AIM
 gating: LN1 -> qkv projection -> the two rectangular-window attention
@@ -28,10 +28,12 @@ Shifted blocks (:290,389): the caller passes pre-rolled views
 x_r0 = roll(x, (-s0/2, -s1/2)), x_r1 = roll(x, (-s1/2, -s0/2)) — LN
 and the qkv projection are pointwise per token, so rolling the INPUT
 commutes with rolling q/k/v (what the module does).  Branch outputs
-come back in rolled coordinates; the caller rolls them back.  The
-conv branch always uses the true-coordinate x.  Shift masks are
-passed whole ([nW, N, N] trace-time constants) and block-sliced per
-strip.
+come back in rolled coordinates; the caller rolls them back.  The conv
+branch always uses the true-coordinate x.  Measured (fused_rect_diag):
+the single-call shifted kernel exceeds VMEM (rejected at diag level 1
+while unshifted passes), so shifted blocks run as TWO per-branch
+pallas_calls — call 0 carries branch 0 + the conv branch, call 1 only
+branch 1 — halving the resident strips; masks ride in bf16.
 
 Per-head layout follows fused_attention._prep_weights: qkv weights
 rearranged per (part, head) with head dim zero-padded to hdp=32 lanes
@@ -73,6 +75,8 @@ def fused_rect_ok(h: int, w: int, s0: int, s1: int) -> bool:
     if ms % mn:  # strip must hold whole windows of both orientations
         return False
     if h % ms or w % ms or h < 2 * ms:
+        return False
+    if w % 8:  # group8 dwconv layout (fused_datb_tail.DW_COLS)
         return False
     import jax as _jax
 
@@ -126,112 +130,116 @@ def _win_reverse(t, ms, hsp, wsp, wdim, cw):
 
 
 def _kernel(*refs, s0, s1, ms, wdim, c, half, nhb, hdp, nr, cdt,
-            shifted, level):
-    """refs (in order): x, x_top, x_bot, [xr0, xr1,] gate-free weights:
-    g1, b1, w0, b0, w1, b1b, wv, bv, bias0, bias1, [mask0, mask1,]
-    wdw, bdw, then outputs o0, o1, conv."""
+            shifted, level, branches, with_conv):
+    """Ref order: [x, x_top, x_bot] (with_conv) | per-branch src
+    (shifted) | g1, b1 | per-branch (w, b, bias[, mask]) |
+    [wv, bv, wdw, bdw] (with_conv) | per-branch o_ref | [conv_ref]."""
     refs = list(refs)
-    x_ref, xt_ref, xb_ref = refs[:3]
-    refs = refs[3:]
+    if with_conv:
+        x_ref, xt_ref, xb_ref = refs[:3]
+        refs = refs[3:]
+    src_refs = {}
     if shifted:
-        xr0_ref, xr1_ref = refs[:2]
-        refs = refs[2:]
-    (g1_ref, b1_ref, w0_ref, b0_ref, w1_ref, b1b_ref, wv_ref, bv_ref,
-     bias0_ref, bias1_ref) = refs[:10]
-    refs = refs[10:]
-    if shifted:
-        mask0_ref, mask1_ref = refs[:2]
-        refs = refs[2:]
-    wdw_ref, bdw_ref = refs[:2]
-    o0_ref, o1_ref, conv_ref = refs[2:]
+        for idx in branches:
+            src_refs[idx] = refs.pop(0)
+    g1_ref = refs.pop(0)
+    b1_ref = refs.pop(0)
+    br = {}
+    for idx in branches:
+        w_ref = refs.pop(0)
+        b_ref = refs.pop(0)
+        bias_ref = refs.pop(0)
+        m_ref = refs.pop(0) if shifted else None
+        br[idx] = (w_ref, b_ref, bias_ref, m_ref)
+    if with_conv:
+        wv_ref, bv_ref, wdw_ref, bdw_ref = refs[:4]
+        refs = refs[4:]
+    o_refs = {idx: refs.pop(0) for idx in branches}
+    conv_ref = refs.pop(0) if with_conv else None
 
     r = pl.program_id(1)
     f32 = jnp.float32
     dot = functools.partial(jnp.dot, preferred_element_type=f32)
     hd = half // nhb
-    n = s0 * s1
-
-    # ---- conv branch: LN -> v (full C) on ms+2 halo rows -> dwconv ----
-    xa = jnp.concatenate(
-        [xt_ref[0], x_ref[0], xb_ref[0]], axis=0
-    ).astype(cdt)
     rows = ms + 2
-    xa2 = xa.reshape(rows * wdim, c)
-    ya = _ln(xa2.astype(f32), g1_ref[:], b1_ref[:]).astype(cdt)
-    va = (dot(ya, wv_ref[:]) + bv_ref[:]).astype(cdt)  # [T18, C]
 
-    if level == 0:
-        cc = va.reshape(rows, wdim, c)[1 : ms + 1]
-        conv_ref[...] = cc.reshape(1, ms, wdim, c).astype(conv_ref.dtype)
-        o0_ref[...] = (
-            xa.reshape(rows, wdim, c)[1 : ms + 1, :, :half]
-            .reshape(1, ms, wdim, half)
-            .astype(o0_ref.dtype)
-        )
-        o1_ref[...] = o0_ref[...]
-        return
+    ya = None
+    if with_conv:
+        # ---- conv branch: LN -> v (full C) on ms+2 halo rows ----
+        xa = jnp.concatenate(
+            [xt_ref[0], x_ref[0], xb_ref[0]], axis=0
+        ).astype(cdt)
+        ya = _ln(
+            xa.reshape(rows * wdim, c).astype(f32), g1_ref[:], b1_ref[:]
+        ).astype(cdt)
+        va = (dot(ya, wv_ref[:]) + bv_ref[:]).astype(cdt)  # [T18, C]
 
-    if level >= 4:
-        convd = _fdt._dwconv_strip(
-            va.reshape(rows, wdim, c), wdw_ref, bdw_ref, r, nr, ms,
-            wdim, c, cdt, _fdt.DW_COLS,
-        )  # BN pre-folded
-        conv_ref[...] = (
-            _gelu(convd, False)
-            .reshape(1, ms, wdim, c)
-            .astype(conv_ref.dtype)
-        )
-    else:
-        cc = va.reshape(rows, wdim, c)[1 : ms + 1]
-        conv_ref[...] = cc.reshape(1, ms, wdim, c).astype(conv_ref.dtype)
+        if level >= 4:
+            convd = _fdt._dwconv_strip(
+                va.reshape(rows, wdim, c), wdw_ref, bdw_ref, r, nr, ms,
+                wdim, c, cdt, _fdt.DW_COLS,
+            )  # BN pre-folded
+            conv_ref[...] = (
+                _gelu(convd, False)
+                .reshape(1, ms, wdim, c)
+                .astype(conv_ref.dtype)
+            )
+        else:
+            cc = va.reshape(rows, wdim, c)[1 : ms + 1]
+            conv_ref[...] = cc.reshape(1, ms, wdim, c).astype(
+                conv_ref.dtype
+            )
 
     # ---- attention branches ----
-    for idx in (0, 1):
+    for idx in branches:
         hsp, wsp = (s0, s1) if idx == 0 else (s1, s0)
-        w_ref = w0_ref if idx == 0 else w1_ref
-        b_ref = b0_ref if idx == 0 else b1b_ref
-        bias_ref = bias0_ref if idx == 0 else bias1_ref
-        o_ref = o0_ref if idx == 0 else o1_ref
+        w_ref, b_ref, bias_ref, m_ref = br[idx]
+        o_ref = o_refs[idx]
         if shifted:
-            src = (xr0_ref if idx == 0 else xr1_ref)[0]  # [ms, W, C]
+            src = src_refs[idx][0]  # [ms, W, C] pre-rolled
             yb = _ln(
-                src.reshape(ms * wdim, c).astype(f32), g1_ref[:], b1_ref[:]
+                src.reshape(ms * wdim, c).astype(f32), g1_ref[:],
+                b1_ref[:],
             ).astype(cdt)
         else:
             # center rows of the already-normed xa
             yb = ya.reshape(rows, wdim, c)[1 : ms + 1].reshape(
                 ms * wdim, c
             )
-        qkv = (dot(yb, w_ref[:]) + b_ref[:]).astype(cdt)  # [T, 3*nhb*hdp]
+        if level == 0:
+            o_ref[...] = (
+                yb.reshape(ms, wdim, c)[:, :, :half]
+                .reshape(1, ms, wdim, half)
+                .astype(o_ref.dtype)
+            )
+            continue
+        qkv = (dot(yb, w_ref[:]) + b_ref[:]).astype(cdt)
         cw = 3 * nhb * hdp
         win = _win_major(
             qkv.reshape(ms, wdim, cw), ms, hsp, wsp, wdim, cw
         )  # [nW, N, cw]
-        nw = win.shape[0]
 
         if level == 1:
             back = _win_reverse(
-                win[:, :, idx * half : idx * half + half],
-                ms, hsp, wsp, wdim, half,
+                win[:, :, :half], ms, hsp, wsp, wdim, half
             )
-            o_ref[...] = back.reshape(1, ms, wdim, half).astype(o_ref.dtype)
+            o_ref[...] = back.reshape(1, ms, wdim, half).astype(
+                o_ref.dtype
+            )
             continue
 
         outs = []
         for h in range(nhb):
-            qo = (0 * nhb + h) * hdp
-            ko = (1 * nhb + h) * hdp
-            vo = (2 * nhb + h) * hdp
-            q = win[:, :, qo : qo + hdp]
-            k = win[:, :, ko : ko + hdp]
-            vv = win[:, :, vo : vo + hdp]
+            q = win[:, :, (0 * nhb + h) * hdp : (0 * nhb + h) * hdp + hdp]
+            k = win[:, :, (1 * nhb + h) * hdp : (1 * nhb + h) * hdp + hdp]
+            vv = win[:, :, (2 * nhb + h) * hdp : (2 * nhb + h) * hdp + hdp]
             s = jax.lax.dot_general(
                 q, k, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=f32,
             )  # [nW, N, N]
             s = s + bias_ref[h]
             if shifted and level >= 3:
-                s = s + mask_ref_sel(mask0_ref, mask1_ref, idx)[:]
+                s = s + m_ref[:].astype(f32)
             m = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - m)
             den = jnp.sum(e, axis=-1, keepdims=True)
@@ -244,10 +252,6 @@ def _kernel(*refs, s0, s1, ms, wdim, c, half, nhb, hdp, nr, cdt,
         ob = jnp.concatenate(outs, axis=-1)  # [nW, N, half]
         back = _win_reverse(ob, ms, hsp, wsp, wdim, half)
         o_ref[...] = back.reshape(1, ms, wdim, half).astype(o_ref.dtype)
-
-
-def mask_ref_sel(mask0_ref, mask1_ref, idx):
-    return mask0_ref if idx == 0 else mask1_ref
 
 
 def fused_rect_attention(
@@ -275,20 +279,33 @@ def fused_rect_attention(
     n = s0 * s1
     nw_strip = (ms // s0) * (ww // s1)  # same count for both branches
 
-    w0, b0, hdp = _prep_branch_weights(
-        wqkv, bqkv, c, half, nhb, hd ** -0.5, 0
-    )
-    w1, b1b, _ = _prep_branch_weights(
-        wqkv, bqkv, c, half, nhb, hd ** -0.5, 1
-    )
-    wv = jnp.asarray(wqkv)[:, 2 * c :]
+    wb = {}
+    for idx in (0, 1):
+        w_i, b_i, hdp = _prep_branch_weights(
+            wqkv, bqkv, c, half, nhb, hd ** -0.5, idx
+        )
+        wb[idx] = (w_i.astype(cdt), b_i)
+    wv = jnp.asarray(wqkv)[:, 2 * c :].astype(cdt)
     bv = (
         jnp.asarray(bqkv)[2 * c :].reshape(1, c).astype(jnp.float32)
         if bqkv is not None
         else jnp.zeros((1, c), jnp.float32)
     )
     row = lambda a: jnp.asarray(a).reshape(1, -1).astype(jnp.float32)
+    g1r, b1r = row(g1), row(b1)
     wdw9 = jnp.asarray(wdw_folded).reshape(9, c).astype(jnp.float32)
+    bdw9 = row(bdw_folded)
+    biases = {
+        0: jnp.asarray(bias0, jnp.float32),
+        1: jnp.asarray(bias1, jnp.float32),
+    }
+    masks = {}
+    if shifted:
+        # bf16 masks: the values are 0 / -1e9 (exactly representable);
+        # halves the per-strip mask block (VMEM was the binding
+        # constraint — fused_rect_diag)
+        masks[0] = jnp.asarray(np.asarray(mask0), cdt)
+        masks[1] = jnp.asarray(np.asarray(mask1), cdt)
 
     grid = (b, nr)
     cmap = lambda bb, r: (bb, r, 0, 0)
@@ -300,55 +317,59 @@ def fused_rect_attention(
     wspec = lambda arr: pl.BlockSpec(
         arr.shape, const(arr.ndim), memory_space=pltpu.VMEM
     )
+    mspec = pl.BlockSpec(
+        (nw_strip, n, n), lambda bb, r: (r, 0, 0), memory_space=pltpu.VMEM
+    )
+    ospec = pl.BlockSpec((1, ms, ww, half), cmap, memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((1, ms, ww, c), cmap, memory_space=pltpu.VMEM)
 
-    args = [x, x, x]
-    in_specs = [strip, hrow(tmap), hrow(bmap)]
-    if shifted:
-        args += [xr0.astype(dtype), xr1.astype(dtype)]
-        in_specs += [strip, strip]
-    weights = [
-        row(g1), row(b1), w0.astype(cdt), b0, w1.astype(cdt), b1b,
-        wv.astype(cdt), bv,
-        jnp.asarray(bias0, jnp.float32), jnp.asarray(bias1, jnp.float32),
-    ]
-    args += weights
-    in_specs += [wspec(a) for a in weights]
-    if shifted:
-        m0 = jnp.asarray(np.asarray(mask0, np.float32))
-        m1 = jnp.asarray(np.asarray(mask1, np.float32))
-        args += [m0, m1]
-        in_specs += [
-            pl.BlockSpec(
-                (nw_strip, n, n), lambda bb, r: (r, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (nw_strip, n, n), lambda bb, r: (r, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+    def call(branches, with_conv, srcs):
+        args, specs = [], []
+        if with_conv:
+            args += [x, x, x]
+            specs += [strip, hrow(tmap), hrow(bmap)]
+        if shifted:
+            for idx in branches:
+                args.append(srcs[idx].astype(dtype))
+                specs.append(strip)
+        args += [g1r, b1r]
+        specs += [wspec(g1r), wspec(b1r)]
+        for idx in branches:
+            args += [wb[idx][0], wb[idx][1], biases[idx]]
+            specs += [wspec(a) for a in (wb[idx][0], wb[idx][1], biases[idx])]
+            if shifted:
+                args.append(masks[idx])
+                specs.append(mspec)
+        if with_conv:
+            args += [wv, bv, wdw9, bdw9]
+            specs += [wspec(a) for a in (wv, bv, wdw9, bdw9)]
+        out_shapes = [
+            jax.ShapeDtypeStruct((b, hh, ww, half), dtype)
+            for _ in branches
         ]
-    args += [wdw9, row(bdw_folded)]
-    in_specs += [wspec(wdw9), wspec(row(bdw_folded))]
+        out_specs = [ospec for _ in branches]
+        if with_conv:
+            out_shapes.append(jax.ShapeDtypeStruct((b, hh, ww, c), dtype))
+            out_specs.append(cspec)
+        kernel = functools.partial(
+            _kernel, s0=s0, s1=s1, ms=ms, wdim=ww, c=c, half=half,
+            nhb=nhb, hdp=hdp, nr=nr, cdt=cdt, shifted=shifted,
+            level=DIAG_LEVEL, branches=tuple(branches),
+            with_conv=with_conv,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shapes),
+            interpret=interpret,
+        )(*args)
 
-    kernel = functools.partial(
-        _kernel, s0=s0, s1=s1, ms=ms, wdim=ww, c=c, half=half, nhb=nhb,
-        hdp=hdp, nr=nr, cdt=cdt, shifted=shifted, level=DIAG_LEVEL,
-    )
-    out_shapes = (
-        jax.ShapeDtypeStruct((b, hh, ww, half), dtype),
-        jax.ShapeDtypeStruct((b, hh, ww, half), dtype),
-        jax.ShapeDtypeStruct((b, hh, ww, c), dtype),
-    )
-    out_specs = (
-        pl.BlockSpec((1, ms, ww, half), cmap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ms, ww, half), cmap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ms, ww, c), cmap, memory_space=pltpu.VMEM),
-    )
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        interpret=interpret,
-    )(*args)
+    if not shifted:
+        o0, o1, conv_x = call((0, 1), True, {})
+        return o0, o1, conv_x
+    # shifted: two per-branch calls (VMEM — see module docstring)
+    o0, conv_x = call((0,), True, {0: xr0})
+    (o1,) = call((1,), False, {1: xr1})
+    return o0, o1, conv_x
