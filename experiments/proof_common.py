@@ -68,13 +68,13 @@ def run_proof(prefix, cli_main, build_args, scale=None, eval_extra=()):
     os.makedirs(rundir, exist_ok=True)
 
     dataroot = os.path.join(rundir, "data")
-    if not os.path.isdir(os.path.join(dataroot, "DeepRockSR-2D")):
+    if not os.path.isdir(os.path.join(dataroot, "shuffled2D")):
         root = make_deeprock_dataset(
             dataroot, n_per_split=48, hr_size=hr_size, scale=scale, seed=7,
             style=style,
         )
     else:  # deterministic (seed=7) — safe to reuse on eval-only reruns
-        root = os.path.join(dataroot, "DeepRockSR-2D")
+        root = dataroot
     print("[proof] style:", style, "scale:", scale, "hr:", hr_size,
           flush=True)
     print("[proof] dataset:", root, "rundir:", rundir, flush=True)
