@@ -42,6 +42,26 @@ def find_layout(d):
     return root, None
 
 
+# Recovery pre-step: if the phase-6 long run lost its final eval to a
+# backend stall/timeout, produce the PLAIN (non-TTA) 4000-ep number
+# from the saved best checkpoint (eval-only, reuses the ckpt + data).
+longlog = os.path.join(REPO, "experiments", "logs",
+                       "swinir_grains_x4_long.log")
+try:
+    with open(longlog) as f:
+        have_final = "FINAL test PSNR" in f.read()
+except OSError:
+    have_final = False
+if not have_final:
+    print("[tta_x4] phase-6 final eval missing — recovering plain "
+          "4000-ep number via PROOF_EVAL_ONLY", flush=True)
+    env = dict(os.environ, PROOF_EVAL_ONLY="1", PROOF_STYLE="grains",
+               PROOF_SCALE="X4")
+    rc = subprocess.call(
+        [sys.executable, "-u", "experiments/swinir_quality_proof.py"],
+        cwd=REPO, env=env)
+    print(f"[tta_x4] recovery eval rc={rc}", flush=True)
+
 results = {}
 for name, d in JOBS:
     root, ckpt = find_layout(d)
