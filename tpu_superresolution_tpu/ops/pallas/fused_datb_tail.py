@@ -86,19 +86,24 @@ def fused_tail_ok(h: int, w: int, backend: str | None = None) -> bool:
 DIAG_LEVEL = 3
 
 # Column-shift implementation inside the depthwise 3x3.  Sub-bisected
-# on hardware (fused_tail_diag3): "rows3" (no column shifts) compiles,
-# "concat" AND "roll" are both Mosaic-rejected — the shift-by-1 on a
-# 256-extent sublane axis is the same compiler bug that killed the
-# round-3/4 dwconv3x3_halo kernels.  "group8" works around it with the
-# layout fused_block's roll absorption proves compiles: reshape W into
-# [W/8, 8] so the sublane extent is 8, shift within groups via an
-# 8-extent sublane concat, and carry the boundary column across groups
-# on a LEADING dim.
-#   "group8" — production (requires W % 8 == 0; gated in *_ok)
-#   "concat" / "roll" — rejected forms, kept selectable for retests
-#                       when a new Mosaic lands
+# on hardware (fused_tail_diag3/diag4): "rows3" (no column shifts)
+# compiles, "concat" AND "roll" are both Mosaic-rejected — the
+# shift-by-1 on a 256-extent sublane axis is the same compiler bug
+# that killed the round-3/4 dwconv3x3_halo kernels — and "group8"
+# (reshape W to [W/8, 8], 8-extent sublane concat + leading-dim group
+# carry) sent the remote compiler into an 18-minute churn before the
+# helper crashed (diag4, 2026-08-20).  "mxu" sidesteps shift
+# constructs entirely: out[w] = in[w+-1] as a [W,W]@[W,C] matmul with
+# a banded 0/1 matrix built from 2-D iota compares — pure dot ops in
+# the layout the kernel already uses (no transpose/relayout), with the
+# SAME-pad boundary column zeroed by the matrix itself.  Cost:
+# 2*(S+2)*W^2*C extra MXU FLOPs per strip (~15 GFLOP per 256^2 block
+# ~= tens of us) against the ~1.6 ms/block HBM win the fusion targets.
+#   "mxu"    — production
+#   "group8" / "concat" / "roll" — rejected forms, kept selectable
+#                       for retests when a new Mosaic lands
 #   "rows3"  — DIAGNOSTIC ONLY (wrong numerics, isolates the shift)
-DW_COLS = "group8"
+DW_COLS = "mxu"
 
 
 def _dwconv_strip(h2r, wdw_ref, bdw_ref, r, nr, s, wdim, cw, cdt,
@@ -122,6 +127,34 @@ def _dwconv_strip(h2r, wdw_ref, bdw_ref, r, nr, s, wdim, cw, cdt,
     if dw_cols == "roll":
         col = jax.lax.broadcasted_iota(jnp.int32, (s, wdim, cw), 1)
     ng = wdim // 8
+
+    if dw_cols == "mxu":
+        # out[., w] = in[., w+delta] as a banded-selection matmul
+        # M @ row with M[w, v] = (v == w + delta): pure dots in the
+        # kernel's native [W, C] layout — no sublane-shift construct
+        # for Mosaic to reject — and the SAME-pad boundary column is
+        # zeroed by M's all-zero edge row.  Selection matmuls are
+        # exact in bf16 (each output element copies one input).
+        ri = jax.lax.broadcasted_iota(jnp.int32, (wdim, wdim), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (wdim, wdim), 1)
+
+        def shift_mxu(strip, delta):
+            m = (ci == ri + delta).astype(cdt)
+            return jnp.concatenate(
+                [
+                    jnp.dot(
+                        m, strip[i].astype(cdt),
+                        preferred_element_type=cdt,
+                    ).reshape(1, wdim, cw)
+                    for i in range(strip.shape[0])
+                ],
+                axis=0,
+            )
+
+        # shift the full (s+2)-row strip once per direction, then
+        # band-slice in the tap loop (3 bands share the shifted rows)
+        west = shift_mxu(h2r, -1)  # out[., w] = in[., w-1]
+        east = shift_mxu(h2r, 1)   # out[., w] = in[., w+1]
 
     def shift_group8(rband, dx):
         # [s, W, cw] -> [s, W/8, 8, cw]; shift-by-1 along W as an
@@ -152,6 +185,8 @@ def _dwconv_strip(h2r, wdw_ref, bdw_ref, r, nr, s, wdim, cw, cdt,
                 if dx != 1 and dw_cols == "rows3":
                     continue
                 sh = rband
+            elif dw_cols == "mxu":
+                sh = (west if dx == 0 else east)[dy : dy + s]
             elif dw_cols == "group8":
                 sh = shift_group8(rband, dx)
             elif dw_cols == "concat":
