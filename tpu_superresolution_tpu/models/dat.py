@@ -619,7 +619,7 @@ class DATB(nn.Module):
         rect = (
             fused
             and j % 2 == 0
-            and _fr.fused_rect_ok(h, w, *self.split_size)
+            and _fr.fused_rect_ok(h, w, *self.split_size, shifted=do_shift)
         )
         if rect:
             g1n, b1n = LayerNormParams(name="norm1")(self.dim)

@@ -59,6 +59,14 @@ from tpu_superresolution_tpu.ops.pallas import fused_datb_tail as _fdt
 # flip only on a measured >=2% interleaved win.
 FUSED_RECT = "off"
 
+# Shifted blocks separately: even as two per-branch calls the shifted
+# kernel is Mosaic-rejected at 256^2 from diag level 3 (masks) up
+# (fused_rect_diag2, 2026-08-20) — with this "off", shifted spatial
+# blocks fall back to the module chain (fused tail still applies) and
+# only non-shifted blocks fuse.  Flip to "on" for retests when a new
+# Mosaic lands (the kernel itself is parity-correct in interpret mode).
+FUSED_RECT_SHIFTED = "off"
+
 # Mosaic-rejection bisect ladder (experiments/fused_rect_diag.py):
 # 0 = LN + v projection + passthrough outputs (refs/specs)
 # 1 = + full qkv + window-major relayout and back (no attention)
@@ -68,15 +76,19 @@ FUSED_RECT = "off"
 DIAG_LEVEL = 4
 
 
-def fused_rect_ok(h: int, w: int, s0: int, s1: int) -> bool:
+def fused_rect_ok(
+    h: int, w: int, s0: int, s1: int, shifted: bool = False
+) -> bool:
     if FUSED_RECT == "off":
+        return False
+    if shifted and FUSED_RECT_SHIFTED == "off":
         return False
     ms, mn = max(s0, s1), min(s0, s1)
     if ms % mn:  # strip must hold whole windows of both orientations
         return False
     if h % ms or w % ms or h < 2 * ms:
         return False
-    if w % 8:  # group8 dwconv layout (fused_datb_tail.DW_COLS)
+    if _fdt.DW_COLS == "group8" and w % 8:  # group8 conv-branch layout
         return False
     import jax as _jax
 
