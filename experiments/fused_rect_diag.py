@@ -8,7 +8,7 @@ print("backend:", jax.default_backend(), flush=True)
 
 import tpu_superresolution_tpu.ops.pallas.fused_rect_attn as fr
 import tpu_superresolution_tpu.ops.pallas.fused_datb_tail as ft
-from tpu_superresolution_tpu.ops.window import rect_shift_attn_mask
+from tpu_superresolution_tpu.ops.window import rect_shift_region_ids
 
 rng = np.random.default_rng(0)
 B, H, W, C = 1, 256, 256, 180
@@ -23,8 +23,8 @@ g1, b1 = f(C), f(C)
 wqkv, bqkv = f(C, 3 * C) * 0.05, f(3 * C) * 0.1
 wdw, bdw = f(3, 3, 1, C) * 0.1, f(C)
 bias0, bias1 = f(nhb, N, N) * 0.01, f(nhb, N, N) * 0.01
-m0 = rect_shift_attn_mask(H, W, S0, S1, S0 // 2, S1 // 2)
-m1 = rect_shift_attn_mask(H, W, S1, S0, S1 // 2, S0 // 2)
+m0 = rect_shift_region_ids(H, W, S0, S1, S0 // 2, S1 // 2)
+m1 = rect_shift_region_ids(H, W, S1, S0, S1 // 2, S0 // 2)
 
 for shifted in (False, True):
     for level in (0, 1, 2, 3, 4):

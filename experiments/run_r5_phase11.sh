@@ -1,0 +1,34 @@
+#!/bin/bash
+# Round-5 phase-11: rect kernel retest after two fixes —
+#  (a) f32 matmul accumulator in the mxu dwconv column shifts
+#      (Mosaic "Expected matmul acc to be 32-bit", phase 10), and
+#  (b) [nW,N] region-id masks compared in-kernel (256x VMEM shrink vs
+#      the materialized [nW,N,N] mask block that died at diag>=3).
+# diag first (cheap bisect at 256^2), then the 3-case interleaved A/B.
+set -u
+cd /root/repo
+mkdir -p experiments/logs
+export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
+LOG=experiments/logs/queue.log
+echo "[queue] r5-phase11 start $(date -u +%FT%TZ)" >> "$LOG"
+
+probe() {
+  until timeout 300 python -c "import jax; jax.devices(); print('TPU_UP')" 2>/dev/null | grep -q TPU_UP; do
+    echo "[queue] backend down, retry in 120s ($(date -u +%FT%TZ))" >> "$LOG"
+    sleep 120
+  done
+  echo "[queue] backend UP ($(date -u +%FT%TZ))" >> "$LOG"
+}
+
+run_one() {
+  local script=$1 tmo=$2 logname=$3; shift 3
+  probe
+  echo "[queue] run $logname ($(date -u +%FT%TZ))" >> "$LOG"
+  timeout "$tmo" python -u "$script" "$@" > "experiments/logs/$logname.log" 2>&1
+  echo "[queue] done $logname rc=$? ($(date -u +%FT%TZ))" >> "$LOG"
+}
+
+run_one experiments/fused_rect_diag.py 7200 fused_rect_diag3
+run_one experiments/dat_fused_rect_ab.py 10800 dat_fused_rect_ab2
+echo "[queue] r5-phase11 ALL DONE $(date -u +%FT%TZ)" >> "$LOG"

@@ -14,9 +14,9 @@ from tpu_superresolution_tpu.ops.pallas import fused_rect_attn as fr
 
 @pytest.fixture(autouse=True)
 def _restore_flags():
-    old = ft.FUSED_TAIL, fr.FUSED_RECT
+    old = ft.FUSED_TAIL, fr.FUSED_RECT, fr.FUSED_RECT_SHIFTED
     yield
-    ft.FUSED_TAIL, fr.FUSED_RECT = old
+    ft.FUSED_TAIL, fr.FUSED_RECT, fr.FUSED_RECT_SHIFTED = old
 
 
 def _small_cfg(**kw):
@@ -43,10 +43,56 @@ def test_rect_kernel_matches_module_chain():
     y0 = m.apply(v, x, train=False)
     ft.FUSED_TAIL = "on"
     fr.FUSED_RECT = "on"
+    fr.FUSED_RECT_SHIFTED = "on"
     v1 = m.init(jax.random.key(0), x, train=False)
     assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
         v1
     )
+    y1 = m.apply(v, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(y1), np.asarray(y0), atol=3e-5, rtol=0
+    )
+
+
+def test_rect_kernel_with_module_tail():
+    """Rect kernel feeding the regular AIM+proj+LN2+SGFN modules
+    (FUSED_TAIL off) — the production pairing at 256^2-class shapes
+    where the tail dwconv is Mosaic-rejected but the rect kernel
+    compiles (fused_tail_diag4 / fused_rect_diag2)."""
+    m = build_model(_small_cfg())
+    x = jnp.asarray(
+        np.random.default_rng(7).random((2, 24, 16, 3), np.float32)
+    )
+    ft.FUSED_TAIL = "off"
+    fr.FUSED_RECT = "off"
+    v = m.init(jax.random.key(0), x, train=False)
+    y0 = m.apply(v, x, train=False)
+    fr.FUSED_RECT = "on"
+    fr.FUSED_RECT_SHIFTED = "on"
+    v1 = m.init(jax.random.key(0), x, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        v1
+    )
+    y1 = m.apply(v, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(y1), np.asarray(y0), atol=3e-5, rtol=0
+    )
+
+
+def test_rect_shifted_gate_falls_back():
+    """FUSED_RECT_SHIFTED="off" (production default while the shifted
+    kernel is Mosaic-rejected at 256^2): shifted spatial blocks take
+    the module branches, unshifted blocks fuse — parity must hold."""
+    m = build_model(_small_cfg())
+    x = jnp.asarray(
+        np.random.default_rng(8).random((2, 24, 16, 3), np.float32)
+    )
+    ft.FUSED_TAIL = "off"
+    fr.FUSED_RECT = "off"
+    v = m.init(jax.random.key(0), x, train=False)
+    y0 = m.apply(v, x, train=False)
+    fr.FUSED_RECT = "on"
+    fr.FUSED_RECT_SHIFTED = "off"
     y1 = m.apply(v, x, train=False)
     np.testing.assert_allclose(
         np.asarray(y1), np.asarray(y0), atol=3e-5, rtol=0

@@ -47,6 +47,7 @@ from tpu_superresolution_tpu.models.blocks import (
 )
 from tpu_superresolution_tpu.ops.window import (
     rect_shift_attn_mask,
+    rect_shift_region_ids,
     rect_window_partition,
     rect_window_reverse,
     relative_position_index,
@@ -386,9 +387,9 @@ class AdaptiveSpatialAttention(nn.Module):
         if norm1 is not None:
             # fused-rect path: `x` is the RAW block input; LN1 + qkv +
             # both rect branches + the conv branch run as one Pallas
-            # kernel (ops/pallas/fused_rect_attn.py).  Only reachable
-            # via tail="fused" at inference (DATB gates on
-            # fused_rect_ok).
+            # kernel (ops/pallas/fused_rect_attn.py).  Inference-only
+            # (DATB gates on fused_rect_ok); composes with either tail
+            # (fused kernel or the regular AIM+proj modules below).
             from tpu_superresolution_tpu.ops.pallas.fused_rect_attn import (
                 fused_rect_attention,
             )
@@ -419,8 +420,8 @@ class AdaptiveSpatialAttention(nn.Module):
             if self.do_shift:
                 xr0 = jnp.roll(x, (-sh0, -sh1), axis=(1, 2))
                 xr1 = jnp.roll(x, (-sh1, -sh0), axis=(1, 2))
-                mask0 = rect_shift_attn_mask(h, w, s0, s1, sh0, sh1)
-                mask1 = rect_shift_attn_mask(h, w, s1, s0, sh1, sh0)
+                mask0 = rect_shift_region_ids(h, w, s0, s1, sh0, sh1)
+                mask1 = rect_shift_region_ids(h, w, s1, s0, sh1, sh0)
             o0, o1, conv_x = fused_rect_attention(
                 x, xr0, xr1, g1n, b1n, wqkv, bqkv, wdwf, bdwf,
                 biases[0], biases[1], mask0, mask1, s0, s1,
@@ -433,10 +434,25 @@ class AdaptiveSpatialAttention(nn.Module):
             channel_map = _ChannelInteraction(
                 c, self.dtype, name="channel_interaction"
             )(conv_x, train)
-            gate_sig = jax.nn.sigmoid(channel_map.reshape(b, c))
-            spw = _SpatialInteractionParams(c, name="spatial_interaction")()
-            proj = DenseParams(c, kernel_init=_TRUNC02, name="proj")(c)
-            return attened_x, conv_x, gate_sig, spw, proj
+            if self.tail == "fused":
+                gate_sig = jax.nn.sigmoid(channel_map.reshape(b, c))
+                spw = _SpatialInteractionParams(
+                    c, name="spatial_interaction"
+                )()
+                proj = DenseParams(c, kernel_init=_TRUNC02, name="proj")(c)
+                return attened_x, conv_x, gate_sig, spw, proj
+            # Module tail behind the rect kernel: finish AIM + proj with
+            # the regular modules (identical param tree).  This is the
+            # production pairing at 256^2-class shapes where the fused
+            # tail's SGFN dwconv is Mosaic-rejected but the rect kernel
+            # compiles (fused_tail_diag4 / fused_rect_diag2, 2026-08-20).
+            spatial_map = _SpatialInteraction(
+                self.dtype, name="spatial_interaction"
+            )(attened_x, train)
+            attened_x = attened_x * jax.nn.sigmoid(channel_map)
+            conv_x = conv_x * jax.nn.sigmoid(spatial_map)
+            return nn.Dense(c, kernel_init=_TRUNC02, dtype=self.dtype,
+                            name="proj")(attened_x + conv_x)
 
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, kernel_init=_TRUNC02,
                        dtype=self.dtype, name="qkv")(x)
@@ -617,7 +633,7 @@ class DATB(nn.Module):
         from tpu_superresolution_tpu.ops.pallas import fused_rect_attn as _fr
 
         rect = (
-            fused
+            (not train)
             and j % 2 == 0
             and _fr.fused_rect_ok(h, w, *self.split_size, shifted=do_shift)
         )

@@ -139,13 +139,17 @@ def _dwconv_strip(h2r, wdw_ref, bdw_ref, r, nr, s, wdim, cw, cdt,
         ci = jax.lax.broadcasted_iota(jnp.int32, (wdim, wdim), 1)
 
         def shift_mxu(strip, delta):
+            # f32 accumulator: Mosaic rejects bf16 matmul acc at real
+            # shapes ("Expected matmul acc to be 32-bit",
+            # dat_fused_rect_ab 2026-08-20); the selection matmul is
+            # exact either way, so acc precision is a no-op numerically.
             m = (ci == ri + delta).astype(cdt)
             return jnp.concatenate(
                 [
                     jnp.dot(
                         m, strip[i].astype(cdt),
-                        preferred_element_type=cdt,
-                    ).reshape(1, wdim, cw)
+                        preferred_element_type=jnp.float32,
+                    ).astype(cdt).reshape(1, wdim, cw)
                     for i in range(strip.shape[0])
                 ],
                 axis=0,

@@ -33,7 +33,9 @@ branch always uses the true-coordinate x.  Measured (fused_rect_diag):
 the single-call shifted kernel exceeds VMEM (rejected at diag level 1
 while unshifted passes), so shifted blocks run as TWO per-branch
 pallas_calls — call 0 carries branch 0 + the conv branch, call 1 only
-branch 1 — halving the resident strips; masks ride in bf16.
+branch 1 — halving the resident strips; masks ride as [nW, N]
+region-id labels compared in-kernel (the materialized [nW, N, N] mask
+block was rejected at 256^2 even per-branch, fused_rect_diag2).
 
 Per-head layout follows fused_attention._prep_weights: qkv weights
 rearranged per (part, head) with head dim zero-padded to hdp=32 lanes
@@ -251,7 +253,14 @@ def _kernel(*refs, s0, s1, ms, wdim, c, half, nhb, hdp, nr, cdt,
             )  # [nW, N, N]
             s = s + bias_ref[h]
             if shifted and level >= 3:
-                s = s + m_ref[:].astype(f32)
+                # region-id compare in place of the materialized
+                # [nW, N, N] mask block (256x VMEM shrink — the mask
+                # input was the term that tipped the shifted kernel
+                # over VMEM at 256^2, fused_rect_diag2 2026-08-20)
+                rid = m_ref[:]
+                s = jnp.where(
+                    rid[:, :, None] == rid[:, None, :], s, s - 100.0
+                )
             m = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - m)
             den = jnp.sum(e, axis=-1, keepdims=True)
@@ -272,8 +281,9 @@ def fused_rect_attention(
     *, interpret: bool | None = None,
 ):
     """x (+ pre-rolled xr0/xr1 when shifted, else None): [B,H,W,C].
-    bias0/bias1: [nh/2, N, N] f32.  mask0/mask1: [nW_branch, N, N]
-    numpy/f32 or None.  wdw_folded [3,3,1,C] / bdw_folded [C]: the conv
+    bias0/bias1: [nh/2, N, N] f32.  mask0/mask1: [nW_branch, N] numpy
+    int region-id labels (rect_shift_region_ids) or None — tokens
+    attend iff labels match.  wdw_folded [3,3,1,C] / bdw_folded [C]: the conv
     branch's depthwise kernel with inference BN folded in.  Returns
     (o0, o1, conv_x): branch outputs [B,H,W,C/2] (in rolled coords when
     shifted) and the gelu'd conv branch [B,H,W,C]."""
@@ -313,11 +323,11 @@ def fused_rect_attention(
     }
     masks = {}
     if shifted:
-        # bf16 masks: the values are 0 / -1e9 (exactly representable);
-        # halves the per-strip mask block (VMEM was the binding
-        # constraint — fused_rect_diag)
-        masks[0] = jnp.asarray(np.asarray(mask0), cdt)
-        masks[1] = jnp.asarray(np.asarray(mask1), cdt)
+        # [nW, N] f32 region ids (ops/window.py::rect_shift_region_ids)
+        # — the penalty is formed in-kernel by an id compare; small
+        # integer labels are exact in f32
+        masks[0] = jnp.asarray(np.asarray(mask0), jnp.float32)
+        masks[1] = jnp.asarray(np.asarray(mask1), jnp.float32)
 
     grid = (b, nr)
     cmap = lambda bb, r: (bb, r, 0, 0)
@@ -330,7 +340,7 @@ def fused_rect_attention(
         arr.shape, const(arr.ndim), memory_space=pltpu.VMEM
     )
     mspec = pl.BlockSpec(
-        (nw_strip, n, n), lambda bb, r: (r, 0, 0), memory_space=pltpu.VMEM
+        (nw_strip, n), lambda bb, r: (r, 0), memory_space=pltpu.VMEM
     )
     ospec = pl.BlockSpec((1, ms, ww, half), cmap, memory_space=pltpu.VMEM)
     cspec = pl.BlockSpec((1, ms, ww, c), cmap, memory_space=pltpu.VMEM)

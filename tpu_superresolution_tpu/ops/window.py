@@ -86,12 +86,16 @@ def rect_window_reverse(windows: jnp.ndarray, hsp: int, wsp: int, h: int, w: int
     return x.reshape(b, h, w, c)
 
 
-def rect_shift_attn_mask(
+def rect_shift_region_ids(
     h: int, w: int, hsp: int, wsp: int, sh: int, sw: int
 ) -> np.ndarray:
-    """Shifted-window mask for rectangular hsp x wsp windows with shifts
-    (sh, sw) on (H, W) (DAT's calculate_mask, dat_arch.py:318-361).
-    Returns [nW, hsp*wsp, hsp*wsp] float32 with 0 / -100."""
+    """Per-token region labels behind the shifted rect-window mask
+    (DAT's calculate_mask img_mask, dat_arch.py:318-344).  Returns
+    [nW, hsp*wsp] int32; tokens attend iff labels match.  256x smaller
+    than the [nW, N, N] mask — the fused rect kernel loads these and
+    forms the penalty with an in-register compare (the materialized
+    mask block was the VMEM term that Mosaic-rejected the shifted
+    kernel at 256^2, fused_rect_diag2 2026-08-20)."""
     img = np.zeros((h, w), dtype=np.int32)
     cnt = 0
     for hs in (slice(0, -hsp), slice(-hsp, -sh if sh else None), slice(-sh, None) if sh else slice(0, 0)):
@@ -99,7 +103,16 @@ def rect_shift_attn_mask(
             img[hs, wsl] = cnt
             cnt += 1
     m = img.reshape(h // hsp, hsp, w // wsp, wsp).transpose(0, 2, 1, 3)
-    m = m.reshape(-1, hsp * wsp)
+    return np.ascontiguousarray(m.reshape(-1, hsp * wsp))
+
+
+def rect_shift_attn_mask(
+    h: int, w: int, hsp: int, wsp: int, sh: int, sw: int
+) -> np.ndarray:
+    """Shifted-window mask for rectangular hsp x wsp windows with shifts
+    (sh, sw) on (H, W) (DAT's calculate_mask, dat_arch.py:318-361).
+    Returns [nW, hsp*wsp, hsp*wsp] float32 with 0 / -100."""
+    m = rect_shift_region_ids(h, w, hsp, wsp, sh, sw)
     diff = m[:, None, :] - m[:, :, None]
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
