@@ -27,7 +27,7 @@ def _probe_dw():
         wdw=g(3, 3, 1, 180) * 0.1, bdw=g(180), wfc2=g(180, 180) * 0.05,
         bfc2=g(180),
     )
-    for dw in ("group8",):
+    for dw in ("mxu", "group8"):
         ft.DW_COLS = dw
         try:
             jax.block_until_ready(jax.jit(
@@ -57,14 +57,16 @@ v = model.init(jax.random.key(0), x[:, :64, :64], train=False)
 # passes levels 0-2.  Third cell adds the fused dual-rect attention
 # kernel (whole spatial block = 2 kernels + tiny XLA glue).
 cases = [
-    ("base(module tail)", "off", "off"),
-    ("fused tail s8", "on", "off"),
-    ("tail+rect s8", "on", "on"),
+    ("base(module tail)", "off", "off", "off"),
+    ("fused tail s8", "on", "off", "off"),
+    ("tail+rect s8", "on", "on", "off"),
+    ("tail+rect+shift s8", "on", "on", "on"),
 ]
 fns, outs = {}, {}
-for tag, flag, rect in cases:
+for tag, flag, rect, rect_sh in cases:
     ft.FUSED_TAIL = flag
     fr.FUSED_RECT = rect
+    fr.FUSED_RECT_SHIFTED = rect_sh
     ft.STRIP_ROWS = 8
     fn = jax.jit(lambda b, model=model, v=v: model.apply(v, b, train=False))
     t0 = time.time()
@@ -77,6 +79,7 @@ for tag, flag, rect in cases:
     fns[tag] = fn; outs[tag] = np.asarray(o, np.float32)
 ft.FUSED_TAIL = "off"
 fr.FUSED_RECT = "off"
+fr.FUSED_RECT_SHIFTED = "off"
 ft.STRIP_ROWS = 8
 base = outs.get(cases[0][0])
 for tag, o in outs.items():

@@ -24,9 +24,11 @@ args = dict(
 )
 
 # s16 is VMEM-dead (level 2 reject); sweep the dwconv column-shift
-# impl at s8 level 3 instead.
+# impl at s8 level 3 instead.  Round-5 phase 12: "mxu" (banded-matmul
+# shifts) with the f32-accumulator fix — group8 was the mode proven
+# dead at 256^2; mxu never compiled cleanly before the fix.
 for s, level, dw in (
-    (8, 3, "group8"), (8, 2, "group8"),
+    (8, 3, "mxu"),
 ):
     if True:
         ft.STRIP_ROWS = s
@@ -49,5 +51,5 @@ for s, level, dw in (
                   flush=True)
 ft.DIAG_LEVEL = 3
 ft.STRIP_ROWS = 8
-ft.DW_COLS = "group8"
+ft.DW_COLS = "mxu"
 print("ALL DONE", flush=True)

@@ -1,17 +1,19 @@
 #!/bin/bash
-# Round-5 phase-11: rect kernel retest after two fixes —
-#  (a) f32 matmul accumulator in the mxu dwconv column shifts
-#      (Mosaic "Expected matmul acc to be 32-bit", phase 10), and
-#  (b) [nW,N] region-id masks compared in-kernel (256x VMEM shrink vs
-#      the materialized [nW,N,N] mask block that died at diag>=3).
-# diag first (cheap bisect at 256^2), then the 3-case interleaved A/B.
+# Round-5 phase-12 (chained behind phase 11): the fused TAIL retest.
+# group8 was the dwconv mode proven dead at 256^2 (fused_tail_diag4);
+# "mxu" banded-matmul shifts never compiled cleanly before the f32-acc
+# fix.  Diag first, then the 4-case interleaved tail/rect A/B.
 set -u
 cd /root/repo
 mkdir -p experiments/logs
 export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
 LOG=experiments/logs/queue.log
-echo "[queue] r5-phase11 start $(date -u +%FT%TZ)" >> "$LOG"
+
+until grep -q "r5-phase11 ALL DONE" "$LOG"; do
+  sleep 60
+done
+echo "[queue] r5-phase12 start $(date -u +%FT%TZ)" >> "$LOG"
 
 probe() {
   until timeout 300 python -c "import jax; jax.devices(); print('TPU_UP')" 2>/dev/null | grep -q TPU_UP; do
@@ -29,6 +31,6 @@ run_one() {
   echo "[queue] done $logname rc=$? ($(date -u +%FT%TZ))" >> "$LOG"
 }
 
-run_one experiments/fused_rect_diag.py 7200 fused_rect_diag3
-run_one experiments/dat_fused_rect_ab.py 10800 dat_fused_rect_ab2
-echo "[queue] r5-phase11 ALL DONE $(date -u +%FT%TZ)" >> "$LOG"
+run_one experiments/fused_tail_diag.py 7200 fused_tail_diag5
+run_one experiments/dat_fused_tail_ab.py 10800 dat_fused_tail_ab4
+echo "[queue] r5-phase12 ALL DONE $(date -u +%FT%TZ)" >> "$LOG"
