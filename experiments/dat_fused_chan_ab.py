@@ -1,0 +1,67 @@
+"""DAT fused-channel-attention A/B at 256^2 (round-5 phase 13): the
+two-phase XCiT gram kernel (ops/pallas/fused_channel_attn.py) on the
+18 channel blocks, alone and stacked with the other fused paths —
+interleaved same-session cells per the >=2% rule.
+
+Floor context (PARITY "DAT floor analysis"): module channel attention
+1.23 ms / channel DATB 2.00 ms; the kernel's HBM traffic is ~4 passes
+of [T, C] bf16 ~= 0.12 ms + ~0.35 ms MXU."""
+import sys; sys.path.insert(0, "/root/repo")
+import time
+import jax, jax.numpy as jnp, numpy as np
+print("backend:", jax.default_backend(), flush=True)
+
+import tpu_superresolution_tpu.ops.pallas.fused_datb_tail as ft
+import tpu_superresolution_tpu.ops.pallas.fused_rect_attn as fr
+import tpu_superresolution_tpu.ops.pallas.fused_channel_attn as fc
+from tpu_superresolution_tpu.core.config import DATConfig, build_model
+
+rng = np.random.default_rng(0)
+x = jnp.asarray(rng.random((1, 256, 256, 3), np.float32))
+model = build_model(DATConfig(scale=4), dtype=jnp.bfloat16)
+v = model.init(jax.random.key(0), x[:, :64, :64], train=False)
+
+# (tag, chan, rect, rect_shifted, tail)
+cases = [
+    ("base(all module)", "off", "off", "off", "off"),
+    ("chan", "on", "off", "off", "off"),
+    ("chan+rect", "on", "on", "off", "off"),
+    ("chan+rect+shift", "on", "on", "on", "off"),
+    ("chan+rect+sh+tail", "on", "on", "on", "on"),
+]
+fns, outs = {}, {}
+for tag, chan, rect, rect_sh, tail in cases:
+    fc.FUSED_CHAN = chan
+    fr.FUSED_RECT = rect
+    fr.FUSED_RECT_SHIFTED = rect_sh
+    ft.FUSED_TAIL = tail
+    fn = jax.jit(lambda b, model=model, v=v: model.apply(v, b, train=False))
+    t0 = time.time()
+    try:
+        o = jax.block_until_ready(fn(x))
+    except Exception as e:
+        print(f"[FAIL] {tag}: {type(e).__name__}: {str(e)[:2000]}", flush=True)
+        continue
+    print(f"[compile] {tag}: {time.time()-t0:.0f}s", flush=True)
+    fns[tag] = fn; outs[tag] = np.asarray(o, np.float32)
+fc.FUSED_CHAN = "off"
+fr.FUSED_RECT = "off"
+fr.FUSED_RECT_SHIFTED = "off"
+ft.FUSED_TAIL = "off"
+base = outs.get(cases[0][0])
+for tag, o in outs.items():
+    if base is not None and tag != cases[0][0]:
+        print(f"maxdiff {tag}: {float(np.max(np.abs(o - base))):.2e}",
+              flush=True)
+ts = {n: [] for n in fns}
+for r in range(8):
+    for n, fn in fns.items():
+        t0 = time.perf_counter()
+        for _ in range(3):
+            o = fn(x)
+        jax.block_until_ready(o)
+        ts[n].append((time.perf_counter() - t0) / 3)
+for n, v_ in ts.items():
+    print(f"{n:22s} min {min(v_)*1e3:7.2f} ms "
+          f"median {sorted(v_)[len(v_)//2]*1e3:7.2f} ms", flush=True)
+print("ALL DONE", flush=True)

@@ -526,10 +526,50 @@ class AdaptiveChannelAttention(nn.Module):
     tail: str = "module"
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, norm1=None):
         b, h, w, c = x.shape
         nh = self.num_heads
         hd = c // nh
+
+        if norm1 is not None:
+            # fused-channel path: `x` is the RAW block input; LN1 + qkv
+            # + XCiT channel attention + the conv branch run as one
+            # two-phase Pallas kernel (ops/pallas/fused_channel_attn.py).
+            # Inference-only (DATB gates on fused_chan_ok); composes
+            # with either tail, like the spatial rect path.
+            from tpu_superresolution_tpu.ops.pallas.fused_channel_attn import (
+                fused_channel_attention,
+            )
+
+            g1n, b1n = norm1
+            wqkv, bqkv = DenseParams(
+                3 * c, kernel_init=_TRUNC02, use_bias=self.qkv_bias,
+                name="qkv",
+            )(c)
+            temperature = self.param(
+                "temperature", nn.initializers.ones, (nh, 1, 1)
+            )
+            wdwf, bdwf = _DWConvBranchParams(c, name="dwconv")()
+            attened_x, conv_x = fused_channel_attention(
+                x, g1n, b1n, wqkv, bqkv, temperature, wdwf, bdwf, nh
+            )
+            channel_map = _ChannelInteraction(
+                c, self.dtype, name="channel_interaction"
+            )(attened_x, train)
+            if self.tail == "fused":
+                gate_sig = jax.nn.sigmoid(channel_map.reshape(b, c))
+                spw = _SpatialInteractionParams(
+                    c, name="spatial_interaction"
+                )()
+                proj = DenseParams(c, kernel_init=_TRUNC02, name="proj")(c)
+                return conv_x, attened_x, gate_sig, spw, proj
+            spatial_map = _SpatialInteraction(
+                self.dtype, name="spatial_interaction"
+            )(conv_x, train)
+            attened_x = attened_x * jax.nn.sigmoid(spatial_map)
+            conv_x = conv_x * jax.nn.sigmoid(channel_map)
+            return nn.Dense(c, kernel_init=_TRUNC02, dtype=self.dtype,
+                            name="proj")(attened_x + conv_x)
 
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, kernel_init=_TRUNC02,
                        dtype=self.dtype, name="qkv")(x)
@@ -631,18 +671,26 @@ class DATB(nn.Module):
         # the kernel, so norm1 params are declared raw here and x is
         # passed un-normed; the param tree stays identical.
         from tpu_superresolution_tpu.ops.pallas import fused_rect_attn as _fr
+        from tpu_superresolution_tpu.ops.pallas import fused_channel_attn as _fc
 
         rect = (
             (not train)
             and j % 2 == 0
             and _fr.fused_rect_ok(h, w, *self.split_size, shifted=do_shift)
         )
+        chan = (not train) and j % 2 == 1 and _fc.fused_chan_ok(h, w)
         if rect:
             g1n, b1n = LayerNormParams(name="norm1")(self.dim)
             y = AdaptiveSpatialAttention(
                 self.dim, self.num_heads, self.split_size, self.qkv_bias,
                 do_shift, self.attn_impl, self.dtype, tail=tail,
                 name="attn",
+            )(x, train, norm1=(g1n, b1n))
+        elif chan:
+            g1n, b1n = LayerNormParams(name="norm1")(self.dim)
+            y = AdaptiveChannelAttention(
+                self.dim, self.num_heads, self.qkv_bias, self.dtype,
+                tail=tail, name="attn",
             )(x, train, norm1=(g1n, b1n))
         else:
             y = _pln(self.dtype, name="norm1")(x)

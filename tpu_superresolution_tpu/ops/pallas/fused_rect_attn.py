@@ -69,6 +69,14 @@ FUSED_RECT = "off"
 # Mosaic lands (the kernel itself is parity-correct in interpret mode).
 FUSED_RECT_SHIFTED = "off"
 
+# Windows per score chunk in SHIFTED kernels: the shifted ladder dies
+# exactly when the mask term joins the scores (diag level 3) with both
+# mask forms (materialized [nW,N,N] input AND in-kernel region-id
+# compare, fused_rect_diag2/diag3 2026-08-20) — pointing at the extra
+# [nW,N,N] f32 temps, not the input.  Chunking the window axis bounds
+# every score-sized temp at [SHIFT_CHUNK,N,N].  0 = no chunking.
+SHIFT_CHUNK = 8
+
 # Mosaic-rejection bisect ladder (experiments/fused_rect_diag.py):
 # 0 = LN + v projection + passthrough outputs (refs/specs)
 # 1 = + full qkv + window-major relayout and back (no attention)
@@ -242,33 +250,48 @@ def _kernel(*refs, s0, s1, ms, wdim, c, half, nhb, hdp, nr, cdt,
             )
             continue
 
-        outs = []
-        for h in range(nhb):
-            q = win[:, :, (0 * nhb + h) * hdp : (0 * nhb + h) * hdp + hdp]
-            k = win[:, :, (1 * nhb + h) * hdp : (1 * nhb + h) * hdp + hdp]
-            vv = win[:, :, (2 * nhb + h) * hdp : (2 * nhb + h) * hdp + hdp]
+        def attend(qc, kc, vc, bias_h, rid_c):
             s = jax.lax.dot_general(
-                q, k, (((2,), (2,)), ((0,), (0,))),
+                qc, kc, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=f32,
-            )  # [nW, N, N]
-            s = s + bias_ref[h]
-            if shifted and level >= 3:
+            )  # [nWc, N, N]
+            s = s + bias_h
+            if rid_c is not None:
                 # region-id compare in place of the materialized
-                # [nW, N, N] mask block (256x VMEM shrink — the mask
-                # input was the term that tipped the shifted kernel
-                # over VMEM at 256^2, fused_rect_diag2 2026-08-20)
-                rid = m_ref[:]
+                # [nW, N, N] mask block (fused_rect_diag3: neither
+                # mask form compiles UNCHUNKED at 256^2 — see
+                # SHIFT_CHUNK)
                 s = jnp.where(
-                    rid[:, :, None] == rid[:, None, :], s, s - 100.0
+                    rid_c[:, :, None] == rid_c[:, None, :], s, s - 100.0
                 )
             m = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - m)
             den = jnp.sum(e, axis=-1, keepdims=True)
             a = (e / den).astype(cdt)
-            o = jax.lax.dot_general(
-                a, vv, (((2,), (1,)), ((0,), (0,))),
+            return jax.lax.dot_general(
+                a, vc, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=f32,
-            )  # [nW, N, hdp]
+            )  # [nWc, N, hdp]
+
+        nws = win.shape[0]
+        chunk = SHIFT_CHUNK if (shifted and SHIFT_CHUNK) else nws
+        outs = []
+        for h in range(nhb):
+            q = win[:, :, (0 * nhb + h) * hdp : (0 * nhb + h) * hdp + hdp]
+            k = win[:, :, (1 * nhb + h) * hdp : (1 * nhb + h) * hdp + hdp]
+            vv = win[:, :, (2 * nhb + h) * hdp : (2 * nhb + h) * hdp + hdp]
+            och = []
+            for w0 in range(0, nws, chunk):
+                w1 = min(w0 + chunk, nws)
+                rid_c = (
+                    m_ref[w0:w1] if (shifted and level >= 3) else None
+                )
+                och.append(
+                    attend(
+                        q[w0:w1], k[w0:w1], vv[w0:w1], bias_ref[h], rid_c
+                    )
+                )
+            o = och[0] if len(och) == 1 else jnp.concatenate(och, axis=0)
             outs.append(o[:, :, :hd].astype(cdt))
         ob = jnp.concatenate(outs, axis=-1)  # [nW, N, half]
         back = _win_reverse(ob, ms, hsp, wsp, wdim, half)
