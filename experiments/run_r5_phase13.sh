@@ -1,8 +1,8 @@
 #!/bin/bash
-# Round-5 phase-13 (chained behind phase 12): (a) shifted-rect retest
-# with SHIFT_CHUNK window chunking (bounds the score-sized temps the
-# diag3 failures point at), (b) the fused-channel-attention A/B —
-# the two-phase XCiT gram kernel, alone and stacked.
+# Round-5 phase-13 v2 (chained behind phase 12): (a) in-model bisect of
+# the 256^2 rect compile crash (call count vs shape, + channel-kernel
+# in-model viability), (b) shifted-rect standalone retest with
+# SHIFT_CHUNK, (c) the fused-channel-attention A/B.
 set -u
 cd /root/repo
 mkdir -p experiments/logs
@@ -31,6 +31,7 @@ run_one() {
   echo "[queue] done $logname rc=$? ($(date -u +%FT%TZ))" >> "$LOG"
 }
 
+run_one experiments/dat_rect_inmodel_diag.py 10800 dat_rect_inmodel_diag
 run_one experiments/fused_rect_diag.py 7200 fused_rect_diag4
 run_one experiments/dat_fused_chan_ab.py 10800 dat_fused_chan_ab
 echo "[queue] r5-phase13 ALL DONE $(date -u +%FT%TZ)" >> "$LOG"
