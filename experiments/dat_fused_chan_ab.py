@@ -16,8 +16,10 @@ import tpu_superresolution_tpu.ops.pallas.fused_rect_attn as fr
 import tpu_superresolution_tpu.ops.pallas.fused_channel_attn as fc
 from tpu_superresolution_tpu.core.config import DATConfig, build_model
 
+SIZE = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+print("input size:", SIZE, flush=True)
 rng = np.random.default_rng(0)
-x = jnp.asarray(rng.random((1, 256, 256, 3), np.float32))
+x = jnp.asarray(rng.random((1, SIZE, SIZE, 3), np.float32))
 model = build_model(DATConfig(scale=4), dtype=jnp.bfloat16)
 v = model.init(jax.random.key(0), x[:, :64, :64], train=False)
 

@@ -32,6 +32,7 @@ run_one() {
 }
 
 run_one experiments/dat_rect_inmodel_diag.py 10800 dat_rect_inmodel_diag
-run_one experiments/fused_rect_diag.py 7200 fused_rect_diag4
 run_one experiments/dat_fused_chan_ab.py 10800 dat_fused_chan_ab
+run_one experiments/dat_fused_chan_ab.py 10800 dat_fused_chan_ab_192 192
+run_one experiments/fused_rect_diag.py 7200 fused_rect_diag4
 echo "[queue] r5-phase13 ALL DONE $(date -u +%FT%TZ)" >> "$LOG"
