@@ -10,7 +10,7 @@ export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
 LOG=experiments/logs/queue.log
 
-until grep -q "r5-phase13 ALL DONE" "$LOG"; do
+until grep -q "r5-phase15 ALL DONE" "$LOG"; do
   sleep 60
 done
 echo "[queue] r5-phase14 start $(date -u +%FT%TZ)" >> "$LOG"
