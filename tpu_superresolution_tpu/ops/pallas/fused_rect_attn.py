@@ -86,12 +86,25 @@ SHIFT_CHUNK = 8
 DIAG_LEVEL = 4
 
 
+# In-model compile ceiling (dat_rect_inmodel_diag, 2026-08-20): the
+# whole-model compile with this kernel inside crashes the axon
+# chipless-AOT path at 256^2 (all call counts, warm cache) while
+# 192^2 compiles and runs — a remote-compiler environment bug, not a
+# kernel property (the kernel compiles standalone at 256^2).  None
+# while the phase-15 env-var retry is in flight; set to 192*192 if
+# 256^2 stays dead (production tiled inference runs <=192^2 tiles, so
+# the ceiling costs nothing real).
+RECT_MAX_PIX: int | None = None
+
+
 def fused_rect_ok(
     h: int, w: int, s0: int, s1: int, shifted: bool = False
 ) -> bool:
     if FUSED_RECT == "off":
         return False
     if shifted and FUSED_RECT_SHIFTED == "off":
+        return False
+    if RECT_MAX_PIX is not None and h * w > RECT_MAX_PIX:
         return False
     ms, mn = max(s0, s1), min(s0, s1)
     if ms % mn:  # strip must hold whole windows of both orientations
