@@ -86,15 +86,16 @@ SHIFT_CHUNK = 8
 DIAG_LEVEL = 4
 
 
-# In-model compile ceiling (dat_rect_inmodel_diag, 2026-08-20): the
-# whole-model compile with this kernel inside crashes the axon
-# chipless-AOT path at 256^2 (all call counts, warm cache) while
-# 192^2 compiles and runs — a remote-compiler environment bug, not a
-# kernel property (the kernel compiles standalone at 256^2).  None
-# while the phase-15 env-var retry is in flight; set to 192*192 if
-# 256^2 stays dead (production tiled inference runs <=192^2 tiles, so
-# the ceiling costs nothing real).
-RECT_MAX_PIX: int | None = None
+# In-model compile ceiling (dat_rect_inmodel_diag + dat_fused_rect_ab3,
+# 2026-08-20): the whole-model compile with this kernel inside crashes
+# the axon chipless-AOT path at 256^2 — all call counts, warm cache,
+# AND the TPU_ACCELERATOR_TYPE env vars the error suggests (client env
+# does not reach the helper) — while 192^2 compiles and runs.  A
+# remote-compiler environment bug, not a kernel property (the kernel
+# compiles standalone at 256^2 in 27 s).  Production tiled inference
+# runs <=192^2 tiles, so the ceiling costs nothing real; set None to
+# retest on a new axon.
+RECT_MAX_PIX: int | None = 192 * 192
 
 
 def fused_rect_ok(
