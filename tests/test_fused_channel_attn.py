@@ -144,3 +144,32 @@ def test_chan_kernel_batch_resets_accumulators():
     np.testing.assert_allclose(
         np.asarray(y1), np.asarray(y0), atol=3e-5, rtol=0
     )
+
+
+def test_chan_blockdiag_xla_impl_matches_heads():
+    """CHAN_ATTN_IMPL="blockdiag" (full-[C,C] masked formulation) must
+    match the reference-shaped per-head einsums (dat.py docstring:
+    normalization factorizes; one masked softmax == nh per-head
+    softmaxes)."""
+    import tpu_superresolution_tpu.models.dat as datmod
+
+    m = build_model(_small_cfg())
+    x = jnp.asarray(
+        np.random.default_rng(9).random((2, 24, 16, 3), np.float32)
+    )
+    old = datmod.CHAN_ATTN_IMPL
+    try:
+        datmod.CHAN_ATTN_IMPL = "heads"
+        v = m.init(jax.random.key(0), x, train=False)
+        y0 = m.apply(v, x, train=False)
+        datmod.CHAN_ATTN_IMPL = "blockdiag"
+        v1 = m.init(jax.random.key(0), x, train=False)
+        assert jax.tree_util.tree_structure(
+            v
+        ) == jax.tree_util.tree_structure(v1)
+        y1 = m.apply(v, x, train=False)
+    finally:
+        datmod.CHAN_ATTN_IMPL = old
+    np.testing.assert_allclose(
+        np.asarray(y1), np.asarray(y0), atol=3e-5, rtol=0
+    )

@@ -76,6 +76,19 @@ LN_IMPL = "xla"
 # models (parity tests) are unaffected either way.
 SOFTMAX_FP32 = True
 
+# XCiT channel-attention formulation.  "heads": the reference-shaped
+# per-head einsums over [B, nh, hd, N] channel-major tensors
+# (dat_arch.py:441-509) — XLA materializes the channel-major relayouts
+# of q/k/v in HBM at production shapes.  "blockdiag": mathematically
+# identical full-[C, C] formulation — the L2 normalization factorizes
+# out of the token contraction (gram = q^T k, per-channel norms), the
+# per-head softmax becomes ONE [C, C] softmax with an off-block-
+# diagonal -inf mask, and out = v @ A^T — every op is a plain [T, C]
+# or [C, C] GEMM/reduction, no relayouts, nothing for Mosaic to
+# reject.  Flip default on a measured >=2% interleaved win
+# (experiments/dat_chan_blockdiag_ab.py).
+CHAN_ATTN_IMPL = "heads"
+
 
 def _pln(dtype, name):
     """DAT-local PLayerNorm bound to the module-global LN_IMPL."""
@@ -575,23 +588,51 @@ class AdaptiveChannelAttention(nn.Module):
                        dtype=self.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        def heads_t(t):
-            # [B,H,W,C] -> [B, nh, hd, N]: channel-token matrix per head
-            return t.reshape(b, h * w, nh, hd).transpose(0, 2, 3, 1)
-
-        qt, kt, vt = heads_t(q), heads_t(k), heads_t(v)
-        qt = qt / jnp.maximum(
-            jnp.linalg.norm(qt.astype(jnp.float32), axis=-1, keepdims=True), 1e-12
-        ).astype(qt.dtype)
-        kt = kt / jnp.maximum(
-            jnp.linalg.norm(kt.astype(jnp.float32), axis=-1, keepdims=True), 1e-12
-        ).astype(kt.dtype)
-
         temperature = self.param("temperature", nn.initializers.ones, (nh, 1, 1))
-        attn = jnp.einsum("bhdn,bhen->bhde", qt, kt) * temperature.astype(qt.dtype)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhde,bhen->bhdn", attn, vt)  # [B, nh, hd, N]
-        attened_x = out.transpose(0, 3, 1, 2).reshape(b, h, w, c)
+
+        if CHAN_ATTN_IMPL == "blockdiag":
+            # Full-[C, C] formulation: normalization factorizes out of
+            # the token contraction (see CHAN_ATTN_IMPL).  Channel c
+            # belongs to head c // hd, so per-head grams are the
+            # hd-blocks of the [C, C] diagonal; the off-block mask
+            # makes one softmax equal nh per-head softmaxes.
+            qf = q.reshape(b, h * w, c).astype(jnp.float32)
+            kf = k.reshape(b, h * w, c).astype(jnp.float32)
+            gram = jnp.einsum(
+                "btc,btd->bcd", qf, kf, precision="highest"
+            )  # [B, C, C]
+            qn = jnp.maximum(
+                jnp.sqrt(jnp.sum(qf * qf, axis=1)), 1e-12
+            )  # [B, C]
+            kn = jnp.maximum(jnp.sqrt(jnp.sum(kf * kf, axis=1)), 1e-12)
+            tcol = jnp.repeat(
+                temperature.astype(jnp.float32).reshape(nh), hd
+            )  # [C]
+            sc = gram / (qn[:, :, None] * kn[:, None, :]) * tcol[None, :, None]
+            cid = np.arange(c) // hd
+            same = jnp.asarray(cid[:, None] == cid[None, :])
+            sc = jnp.where(same[None], sc, -jnp.inf)
+            attn = jax.nn.softmax(sc, axis=-1).astype(x.dtype)  # [B, C, C]
+            attened_x = jnp.einsum(
+                "btc,bdc->btd", v.reshape(b, h * w, c), attn
+            ).reshape(b, h, w, c)
+        else:
+            def heads_t(t):
+                # [B,H,W,C] -> [B, nh, hd, N]: channel-token matrix per head
+                return t.reshape(b, h * w, nh, hd).transpose(0, 2, 3, 1)
+
+            qt, kt, vt = heads_t(q), heads_t(k), heads_t(v)
+            qt = qt / jnp.maximum(
+                jnp.linalg.norm(qt.astype(jnp.float32), axis=-1, keepdims=True), 1e-12
+            ).astype(qt.dtype)
+            kt = kt / jnp.maximum(
+                jnp.linalg.norm(kt.astype(jnp.float32), axis=-1, keepdims=True), 1e-12
+            ).astype(kt.dtype)
+
+            attn = jnp.einsum("bhdn,bhen->bhde", qt, kt) * temperature.astype(qt.dtype)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+            out = jnp.einsum("bhde,bhen->bhdn", attn, vt)  # [B, nh, hd, N]
+            attened_x = out.transpose(0, 3, 1, 2).reshape(b, h, w, c)
 
         conv_x = _DWConvBranch(self.dtype, name="dwconv")(v, train)
 
