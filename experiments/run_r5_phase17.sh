@@ -1,8 +1,6 @@
 #!/bin/bash
-# Round-5 phase-14 (chained behind phase 13): refresh the DAT X4
-# grains checkpoint (round-4's lived in /tmp and is gone), then the
-# fused-kernel dB-transparency guard over the full kernel stack
-# (module / chan / chan+rect / +shift / +tail).
+# Round-5 phase-16 (chained behind phase 15): the blockdiag-XLA
+# channel-attention A/B + the direct rect-only 256^2 retry.
 set -u
 cd /root/repo
 mkdir -p experiments/logs
@@ -10,10 +8,10 @@ export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
 LOG=experiments/logs/queue.log
 
-until grep -q "r5-phase17 ALL DONE" "$LOG"; do
+until grep -q "r5-phase16 ALL DONE" "$LOG"; do
   sleep 60
 done
-echo "[queue] r5-phase14 start $(date -u +%FT%TZ)" >> "$LOG"
+echo "[queue] r5-phase17 start $(date -u +%FT%TZ)" >> "$LOG"
 
 probe() {
   until timeout 300 python -c "import jax; jax.devices(); print('TPU_UP')" 2>/dev/null | grep -q TPU_UP; do
@@ -31,7 +29,5 @@ run_one() {
   echo "[queue] done $logname rc=$? ($(date -u +%FT%TZ))" >> "$LOG"
 }
 
-export PROOF_STYLE=grains PROOF_SCALE=X4
-run_one experiments/dat_quality_proof.py 10800 dat_grains_x4_r5 1200 10
-run_one experiments/dat_fused_eval_check.py 10800 dat_fused_eval_check2
-echo "[queue] r5-phase14 ALL DONE $(date -u +%FT%TZ)" >> "$LOG"
+run_one experiments/dat_chan_blockdiag_ab.py 10800 dat_chan_blockdiag_ab_192 192
+echo "[queue] r5-phase17 ALL DONE $(date -u +%FT%TZ)" >> "$LOG"
