@@ -68,7 +68,44 @@ for r in range(8):
             o = fn(x)
         jax.block_until_ready(o)
         ts[n].append((time.perf_counter() - t0) / 3)
+med = {}
 for n, v_ in ts.items():
+    med[n] = sorted(v_)[len(v_) // 2] * 1e3
     print(f"{n:18s} min {min(v_)*1e3:7.2f} ms "
-          f"median {sorted(v_)[len(v_)//2]*1e3:7.2f} ms", flush=True)
+          f"median {med[n]:7.2f} ms", flush=True)
+
+# Batched confirmation: production tiling stacks tiles into one
+# batched forward (evaluate/tiling.py), so confirm the best fused cell
+# still wins at b=4 before any default flip.
+if len(med) > 1:
+    best = min((t for t in med if t != cases[0][0]), key=med.get)
+    cfg = {t: (r, s, tl) for t, r, s, tl in cases}
+    xb = jnp.asarray(rng.random((4, SIZE, SIZE, 3), np.float32))
+    bts = {}
+    for tag in (cases[0][0], best):
+        fr.FUSED_RECT, fr.FUSED_RECT_SHIFTED, ft.FUSED_TAIL = cfg[tag]
+        fn = jax.jit(lambda b, model=model, v=v: model.apply(
+            v, b, train=False))
+        t0 = time.time()
+        try:
+            jax.block_until_ready(fn(xb))
+        except Exception as e:
+            print(f"[FAIL b4] {tag}: {type(e).__name__}: {str(e)[:800]}",
+                  flush=True)
+            continue
+        print(f"[compile b4] {tag}: {time.time()-t0:.0f}s", flush=True)
+        bts[tag] = fn
+    fr.FUSED_RECT = "off"; fr.FUSED_RECT_SHIFTED = "off"
+    ft.FUSED_TAIL = "off"
+    tb = {n: [] for n in bts}
+    for r in range(6):
+        for n, fn in bts.items():
+            t0 = time.perf_counter()
+            for _ in range(2):
+                o = fn(xb)
+            jax.block_until_ready(o)
+            tb[n].append((time.perf_counter() - t0) / 2)
+    for n, v_ in tb.items():
+        print(f"b4 {n:18s} min {min(v_)*1e3:7.2f} ms "
+              f"median {sorted(v_)[len(v_)//2]*1e3:7.2f} ms", flush=True)
 print("ALL DONE", flush=True)
