@@ -13,19 +13,23 @@ print("backend:", jax.default_backend(), flush=True)
 import tpu_superresolution_tpu.ops.pallas.fused_datb_tail as ft
 import tpu_superresolution_tpu.ops.pallas.fused_rect_attn as fr
 import tpu_superresolution_tpu.ops.pallas.fused_channel_attn as fc
+import tpu_superresolution_tpu.models.dat as datmod
 from tpu_superresolution_tpu.cli.evaluate import main as evaluate_main
 
 BASE = "/root/repo/experiments/ckpts/dat_proof_grains_x4"
 CKPT = sys.argv[1] if len(sys.argv) > 1 else f"{BASE}/run/bestpsnr_X4"
 ROOT = sys.argv[2] if len(sys.argv) > 2 else f"{BASE}/data"
 
-for tag, chan, rect, rect_sh, tail in (
-    ("module", "off", "off", "off", "off"),
-    ("chan", "on", "off", "off", "off"),
-    ("chan+rect", "on", "on", "off", "off"),
-    ("chan+rect+shift", "on", "on", "on", "off"),
-    ("all+tail", "on", "on", "on", "on"),
+for tag, chan_impl, chan, rect, rect_sh, tail in (
+    ("module", "heads", "off", "off", "off", "off"),
+    ("blockdiag", "blockdiag", "off", "off", "off", "off"),
+    ("chan", "heads", "on", "off", "off", "off"),
+    ("chan+rect", "heads", "on", "on", "off", "off"),
+    ("chan+rect+shift", "heads", "on", "on", "on", "off"),
+    ("all+tail", "heads", "on", "on", "on", "on"),
+    ("blockdiag+rect+sh+tail", "blockdiag", "off", "on", "on", "on"),
 ):
+    datmod.CHAN_ATTN_IMPL = chan_impl
     fc.FUSED_CHAN = chan
     fr.FUSED_RECT = rect
     fr.FUSED_RECT_SHIFTED = rect_sh
@@ -45,4 +49,5 @@ ft.FUSED_TAIL = "off"
 fr.FUSED_RECT = "off"
 fr.FUSED_RECT_SHIFTED = "off"
 fc.FUSED_CHAN = "off"
+datmod.CHAN_ATTN_IMPL = "heads"
 print("ALL DONE", flush=True)
