@@ -706,7 +706,7 @@ class DATB(nn.Module):
         # SGFN as one Pallas kernel (ops/pallas/fused_datb_tail.py).
         # Training keeps the module chain (BatchNorm stats + drop_path).
         bsz, h, w, _c = x.shape
-        fused = (not train) and _ft.fused_tail_ok(h, w)
+        fused = (not train) and _ft.fused_tail_ok(h, w, b=bsz)
         tail = "fused" if fused else "module"
         # fused-rect (kernel 1, spatial blocks only): LN1 moves inside
         # the kernel, so norm1 params are declared raw here and x is
@@ -717,7 +717,8 @@ class DATB(nn.Module):
         rect = (
             (not train)
             and j % 2 == 0
-            and _fr.fused_rect_ok(h, w, *self.split_size, shifted=do_shift)
+            and _fr.fused_rect_ok(
+                h, w, *self.split_size, shifted=do_shift, b=bsz)
         )
         chan = (not train) and j % 2 == 1 and _fc.fused_chan_ok(h, w)
         if rect:

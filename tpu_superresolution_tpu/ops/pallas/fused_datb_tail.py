@@ -63,10 +63,23 @@ STRIP_ROWS = 8
 FUSED_TAIL = "off"
 
 
-def fused_tail_ok(h: int, w: int, backend: str | None = None) -> bool:
+# In-model compile ceiling on TOTAL pixels (b*h*w), same class as
+# fused_rect_attn.RECT_MAX_PIX: the tail kernel compiles in-model at
+# 1 x 192^2 (dat_fused_192_ab, -30% stack win) but the whole-model
+# compile crashes the axon helper at 256^2 (fused_tail_diag5/ab4) and
+# at 4 x 192^2 (dat_fused_192_ab b4 cell).  Set None to retest on a
+# new axon.
+TAIL_MAX_PIX: int | None = 192 * 192
+
+
+def fused_tail_ok(
+    h: int, w: int, backend: str | None = None, b: int = 1
+) -> bool:
     """Eligibility: whole strips only (callers pad DAT inputs to
     split-size multiples >= 8/16 already, so H % 8 == 0 in practice)."""
     if FUSED_TAIL == "off":
+        return False
+    if TAIL_MAX_PIX is not None and b * h * w > TAIL_MAX_PIX:
         return False
     if h % STRIP_ROWS or h < 2 * STRIP_ROWS:
         return False

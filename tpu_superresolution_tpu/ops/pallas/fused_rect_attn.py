@@ -94,18 +94,21 @@ DIAG_LEVEL = 4
 # remote-compiler environment bug, not a kernel property (the kernel
 # compiles standalone at 256^2 in 27 s).  Production tiled inference
 # runs <=192^2 tiles, so the ceiling costs nothing real; set None to
-# retest on a new axon.
+# retest on a new axon.  The ceiling is on TOTAL pixels (b*h*w):
+# dat_fused_192_ab's b4 cell showed the same helper crash at
+# 4 x 192^2, so batched tile stacks beyond one 192^2 image must keep
+# the module chain too.
 RECT_MAX_PIX: int | None = 192 * 192
 
 
 def fused_rect_ok(
-    h: int, w: int, s0: int, s1: int, shifted: bool = False
+    h: int, w: int, s0: int, s1: int, shifted: bool = False, b: int = 1
 ) -> bool:
     if FUSED_RECT == "off":
         return False
     if shifted and FUSED_RECT_SHIFTED == "off":
         return False
-    if RECT_MAX_PIX is not None and h * w > RECT_MAX_PIX:
+    if RECT_MAX_PIX is not None and b * h * w > RECT_MAX_PIX:
         return False
     ms, mn = max(s0, s1), min(s0, s1)
     if ms % mn:  # strip must hold whole windows of both orientations
