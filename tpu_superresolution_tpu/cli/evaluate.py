@@ -179,6 +179,10 @@ def main(argv=None):
                              "torch .pt/.pth files carry a single weight set "
                              "(use interop to inspect params_ema subtrees)")
         exact = True if args.exact is None else args.exact
+        if exact:
+            from tpu_superresolution_tpu.models import dat as _datmod
+
+            _datmod.force_exact_chain()
         mcfg, variables = _load_torch_checkpoint(
             args.model, args.ckpt, scale_int, exact
         )
@@ -207,6 +211,9 @@ def main(argv=None):
         if args.exact:
             import dataclasses
 
+            from tpu_superresolution_tpu.models import dat as _datmod
+
+            _datmod.force_exact_chain()
             over = {
                 k: v
                 for k, v in (("fused_reconstruct", False), ("gelu_approximate", False))

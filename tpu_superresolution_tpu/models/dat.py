@@ -86,8 +86,37 @@ SOFTMAX_FP32 = True
 # diagonal -inf mask, and out = v @ A^T — every op is a plain [T, C]
 # or [C, C] GEMM/reduction, no relayouts, nothing for Mosaic to
 # reject.  Flip default on a measured >=2% interleaved win
-# (experiments/dat_chan_blockdiag_ab.py).
+# (experiments/dat_chan_blockdiag_ab.py).  "auto" resolves to
+# "blockdiag" on TPU (measured -6.2% whole-model at 256^2, -5.3% at
+# 192^2) and "heads" elsewhere, mirroring attention_impl="auto";
+# numerics differ only by bf16 reduction order (dB-transparent, see
+# experiments/dat_fused_eval_check.py).
 CHAN_ATTN_IMPL = "heads"
+
+
+def resolved_chan_attn_impl() -> str:
+    if CHAN_ATTN_IMPL == "auto":
+        import jax
+
+        return "blockdiag" if jax.default_backend() == "tpu" else "heads"
+    return CHAN_ATTN_IMPL
+
+
+def force_exact_chain() -> None:
+    """Pin every DAT inference-path implementation switch to the
+    reference module chain (used by evaluate --exact: the fused
+    kernels and the blockdiag channel attention are dB-transparent
+    but not bitwise, like fused_reconstruct)."""
+    global CHAN_ATTN_IMPL
+    CHAN_ATTN_IMPL = "heads"
+    from tpu_superresolution_tpu.ops.pallas import fused_channel_attn as _fc
+    from tpu_superresolution_tpu.ops.pallas import fused_datb_tail as _ft
+    from tpu_superresolution_tpu.ops.pallas import fused_rect_attn as _fr
+
+    _ft.FUSED_TAIL = "off"
+    _fr.FUSED_RECT = "off"
+    _fr.FUSED_RECT_SHIFTED = "off"
+    _fc.FUSED_CHAN = "off"
 
 
 def _pln(dtype, name):
@@ -590,7 +619,7 @@ class AdaptiveChannelAttention(nn.Module):
 
         temperature = self.param("temperature", nn.initializers.ones, (nh, 1, 1))
 
-        if CHAN_ATTN_IMPL == "blockdiag":
+        if resolved_chan_attn_impl() == "blockdiag":
             # Full-[C, C] formulation: normalization factorizes out of
             # the token contraction (see CHAN_ATTN_IMPL).  Channel c
             # belongs to head c // hd, so per-head grams are the

@@ -72,7 +72,10 @@ def fused_chan_ok(h: int, w: int) -> bool:
         return False
     import jax as _jax
 
-    return _jax.default_backend() in ("tpu", "cpu")
+    be = _jax.default_backend()
+    if FUSED_CHAN == "auto":
+        return be == "tpu"
+    return be in ("tpu", "cpu")
 
 
 def _kernel(x_ref, xt_ref, xb_ref, g1_ref, b1_ref, w_ref, b_ref,

@@ -88,6 +88,8 @@ def fused_tail_ok(
     import jax as _jax
 
     be = backend or _jax.default_backend()
+    if FUSED_TAIL == "auto":  # production default: real TPU only —
+        return be == "tpu"    # CPU interpret mode is for tests ("on")
     return be in ("tpu", "cpu")  # cpu = interpret mode (tests)
 
 

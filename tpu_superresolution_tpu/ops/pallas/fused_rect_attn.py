@@ -119,7 +119,10 @@ def fused_rect_ok(
         return False
     import jax as _jax
 
-    return _jax.default_backend() in ("tpu", "cpu")
+    be = _jax.default_backend()
+    if FUSED_RECT == "auto":  # production default: real TPU only —
+        return be == "tpu"    # CPU interpret mode is for tests ("on")
+    return be in ("tpu", "cpu")
 
 
 def _prep_branch_weights(wqkv, bqkv, c, half, nhb, scale, idx):
