@@ -48,6 +48,18 @@ def test_batch_multiplies_into_pixel_ceiling():
     assert not fr.fused_rect_ok(256, 256, 8, 16, b=1)
 
 
+def test_shifted_rect_needs_8_divisible_windows_per_strip():
+    # Mosaic rejects the [windows-per-strip, N] region-id mask block
+    # unless the sublane dim % 8 == 0 (measured at w=48 in
+    # dat_fused_eval_check2); non-shifted has no mask input.
+    fr.FUSED_RECT = "on"
+    fr.FUSED_RECT_SHIFTED = "on"
+    assert fr.fused_rect_ok(48, 48, 8, 16, shifted=False, b=4)
+    assert not fr.fused_rect_ok(48, 48, 8, 16, shifted=True, b=4)
+    assert fr.fused_rect_ok(64, 64, 8, 16, shifted=True)
+    assert fr.fused_rect_ok(192, 192, 8, 16, shifted=True)
+
+
 def test_chan_attn_auto_resolves_heads_on_cpu():
     datmod.CHAN_ATTN_IMPL = "auto"
     assert datmod.resolved_chan_attn_impl() == "heads"

@@ -115,6 +115,14 @@ def fused_rect_ok(
         return False
     if h % ms or w % ms or h < 2 * ms:
         return False
+    if shifted:
+        # The region-id mask BlockSpec is [windows-per-strip, N]; the
+        # Mosaic lowering requires the sublane dim % 8 (measured: w=48
+        # rejected in dat_fused_eval_check2, w=192 compiles).  Windows
+        # per ms-row strip: branch0 (s0 x s1 rects) -> (ms/s0)*(w/s1),
+        # branch1 (s1 x s0) -> (ms/s1)*(w/s0).
+        if ((ms // s0) * (w // s1)) % 8 or ((ms // s1) * (w // s0)) % 8:
+            return False
     if _fdt.DW_COLS == "group8" and w % 8:  # group8 conv-branch layout
         return False
     import jax as _jax
